@@ -1,0 +1,5 @@
+from mspi_tpu.convert.torch_convert import (  # noqa: F401
+    convert_state_dict,
+    load_torch_checkpoint,
+    merge_converted,
+)

@@ -1,0 +1,320 @@
+"""Core neural-net layers, channels-last, with exact torch numerics.
+
+Everything here is a thin, TPU-idiomatic wrapper over flax/lax primitives.
+Tensors are channels-last: video activations are [B, T, H, W, C] (XLA's
+preferred conv layout on TPU — the MXU consumes the C dimension directly),
+images [B, H, W, C], audio spectrograms [B, F, Tw, C].
+
+Torch-parity notes (these wrappers are what makes 0.999-CC weight-converted
+parity possible):
+- Convs use symmetric explicit padding and floor output sizing, like torch.
+- BatchNorm: torch `running = (1-m)*running + m*batch` with m=momentum; flax
+  uses the complementary convention, so `momentum_flax = 1 - momentum_torch`.
+- Max pooling pads with -inf and floors the output size, like torch.
+- `resize_linear` is half-pixel linear interpolation == torch
+  `interpolate(..., align_corners=False)`.
+- `gelu` is the exact erf formulation (torch default), not tanh.
+- Default initializers mirror torch's kaiming-uniform(a=sqrt(5)) fan-in
+  scheme so from-scratch training dynamics match the reference.
+
+Layer factories (conv2d/conv3d/dense/batchnorm/layernorm) return *bare* flax
+primitives so the flax param tree nests exactly like the torch module tree —
+the weight converter in mspi_tpu/convert is then fully mechanical.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+IntOrTuple = Union[int, Sequence[int]]
+
+
+def _to_tuple(x: IntOrTuple, n: int) -> Tuple[int, ...]:
+    if isinstance(x, int):
+        return (x,) * n
+    t = tuple(x)
+    assert len(t) == n, (x, n)
+    return t
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf) GELU — torch nn.GELU default."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def torch_kernel_init(key, shape, dtype=jnp.float32):
+    """torch Conv/Linear default: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)).
+
+    For conv kernels shaped [*spatial, in/groups, out], fan_in =
+    prod(spatial) * in/groups; for dense kernels [in, out], fan_in = in.
+    """
+    fan_in = 1
+    for d in shape[:-1]:
+        fan_in *= d
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def trunc_normal_init(stddev: float = 0.02):
+    """timm trunc_normal_(std=s): normal truncated to +-2 sigma."""
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype) * stddev
+
+    return init
+
+
+def zeros_init():
+    return jax.nn.initializers.zeros
+
+
+def _conv(
+    ndim: int,
+    in_features: int,
+    features: int,
+    kernel_size: IntOrTuple,
+    stride: IntOrTuple = 1,
+    padding: IntOrTuple = 0,
+    groups: int = 1,
+    bias: bool = True,
+    dilation: IntOrTuple = 1,
+    dtype: Optional[Dtype] = None,
+    kernel_init: Optional[Callable] = None,
+    bias_init: Optional[Callable] = None,
+    name: Optional[str] = None,
+) -> nn.Conv:
+    kernel = _to_tuple(kernel_size, ndim)
+    pad = _to_tuple(padding, ndim)
+    fan_in = (in_features // groups) * math.prod(kernel)
+    return nn.Conv(
+        features=features,
+        kernel_size=kernel,
+        strides=_to_tuple(stride, ndim),
+        padding=[(p, p) for p in pad],
+        feature_group_count=groups,
+        use_bias=bias,
+        kernel_dilation=_to_tuple(dilation, ndim),
+        dtype=dtype,
+        kernel_init=kernel_init or torch_kernel_init,
+        bias_init=bias_init or torch_bias_init(fan_in),
+        name=name,
+    )
+
+
+def conv3d(in_features: int, features: int, kernel_size: IntOrTuple, stride: IntOrTuple = 1,
+           padding: IntOrTuple = 0, groups: int = 1, bias: bool = True,
+           dilation: IntOrTuple = 1, dtype=None, kernel_init=None, bias_init=None,
+           name: Optional[str] = None) -> nn.Conv:
+    """torch nn.Conv3d equivalent, channels-last [B,T,H,W,C]."""
+    return _conv(3, in_features, features, kernel_size, stride, padding, groups,
+                 bias, dilation, dtype, kernel_init, bias_init, name)
+
+
+def conv2d(in_features: int, features: int, kernel_size: IntOrTuple, stride: IntOrTuple = 1,
+           padding: IntOrTuple = 0, groups: int = 1, bias: bool = True,
+           dilation: IntOrTuple = 1, dtype=None, kernel_init=None, bias_init=None,
+           name: Optional[str] = None) -> nn.Conv:
+    """torch nn.Conv2d equivalent, channels-last [B,H,W,C]."""
+    return _conv(2, in_features, features, kernel_size, stride, padding, groups,
+                 bias, dilation, dtype, kernel_init, bias_init, name)
+
+
+def dense(in_features: int, features: int, bias: bool = True, dtype=None,
+          kernel_init=None, bias_init=None, name: Optional[str] = None) -> nn.Dense:
+    """torch nn.Linear equivalent."""
+    return nn.Dense(
+        features,
+        use_bias=bias,
+        dtype=dtype,
+        kernel_init=kernel_init or torch_kernel_init,
+        bias_init=bias_init or torch_bias_init(in_features),
+        name=name,
+    )
+
+
+def batchnorm(momentum: float = 0.1, epsilon: float = 1e-5, dtype=None,
+              name: Optional[str] = None) -> nn.BatchNorm:
+    """torch nn.BatchNorm{1,2,3}d over the trailing channel axis.
+
+    `momentum` is the torch momentum. Call with
+    `use_running_average=not train`; running stats live in 'batch_stats'.
+    """
+    return nn.BatchNorm(
+        use_running_average=None,
+        momentum=1.0 - momentum,
+        epsilon=epsilon,
+        dtype=dtype,
+        name=name,
+    )
+
+
+def layernorm(epsilon: float = 1e-5, dtype=None, name: Optional[str] = None) -> nn.LayerNorm:
+    """torch nn.LayerNorm over the trailing axis (eps=1e-5, torch default —
+    flax's own default is 1e-6, which breaks parity)."""
+    return nn.LayerNorm(epsilon=epsilon, dtype=dtype, name=name)
+
+
+def max_pool(
+    x: jnp.ndarray,
+    kernel_size: IntOrTuple,
+    stride: Optional[IntOrTuple] = None,
+    padding: IntOrTuple = 0,
+    ndim: int = 3,
+) -> jnp.ndarray:
+    """torch nn.MaxPool2d/3d: -inf padding, floor output size. x channels-last."""
+    n = ndim
+    kernel = _to_tuple(kernel_size, n)
+    stride_t = _to_tuple(stride if stride is not None else kernel_size, n)
+    pad = _to_tuple(padding, n)
+    window = (1,) + kernel + (1,)
+    strides = (1,) + stride_t + (1,)
+    pads = [(0, 0)] + [(p, p) for p in pad] + [(0, 0)]
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, window, strides, pads)
+
+
+def avg_pool(
+    x: jnp.ndarray,
+    kernel_size: IntOrTuple,
+    stride: Optional[IntOrTuple] = None,
+    padding: IntOrTuple = 0,
+    ndim: int = 3,
+) -> jnp.ndarray:
+    """torch nn.AvgPool (count_include_pad=True, the torch default)."""
+    n = ndim
+    kernel = _to_tuple(kernel_size, n)
+    stride_t = _to_tuple(stride if stride is not None else kernel_size, n)
+    pad = _to_tuple(padding, n)
+    window = (1,) + kernel + (1,)
+    strides = (1,) + stride_t + (1,)
+    pads = [(0, 0)] + [(p, p) for p in pad] + [(0, 0)]
+    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, window, strides, pads)
+    return summed / math.prod(kernel)
+
+
+def resize_linear(x: jnp.ndarray, scale: Sequence[float], axes: Sequence[int]) -> jnp.ndarray:
+    """Half-pixel linear resize of the given axes by the given scale factors.
+
+    Matches torch nn.Upsample(mode='bilinear'/'trilinear', align_corners=False)
+    (used throughout the decoder, reference model_utils.py:486-488).
+    """
+    shape = list(x.shape)
+    for s, ax in zip(scale, axes):
+        shape[ax] = int(math.floor(shape[ax] * s))
+    return jax.image.resize(x, tuple(shape), method="linear", antialias=False).astype(x.dtype)
+
+
+def resize_to(x: jnp.ndarray, sizes: Sequence[int], axes: Sequence[int]) -> jnp.ndarray:
+    shape = list(x.shape)
+    for size, ax in zip(sizes, axes):
+        shape[ax] = int(size)
+    return jax.image.resize(x, tuple(shape), method="linear", antialias=False).astype(x.dtype)
+
+
+def adaptive_avg_pool(x: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """AdaptiveAvgPool to (1,...,1): mean over spatial axes (channels-last),
+    keeping dims."""
+    axes = tuple(range(1, 1 + ndim))
+    return jnp.mean(x, axis=axes, keepdims=True)
+
+
+# --- Stateless modules usable as Sequential slots (keep index-parity with
+# --- the reference's torch nn.Sequential graphs). ---
+
+
+class ReLU(nn.Module):
+    def __call__(self, x):
+        return jax.nn.relu(x)
+
+
+class Sigmoid(nn.Module):
+    def __call__(self, x):
+        return jax.nn.sigmoid(x)
+
+
+class GELU(nn.Module):
+    def __call__(self, x):
+        return gelu(x)
+
+
+class Identity(nn.Module):
+    def __call__(self, x, *a, **k):
+        return x
+
+
+class MaxPool(nn.Module):
+    kernel_size: IntOrTuple
+    stride: Optional[IntOrTuple] = None
+    padding: IntOrTuple = 0
+    ndim: int = 3
+
+    def __call__(self, x):
+        return max_pool(x, self.kernel_size, self.stride, self.padding, self.ndim)
+
+
+class Upsample(nn.Module):
+    """torch nn.Upsample(scale_factor, mode=trilinear/bilinear,
+    align_corners=False) on channels-last tensors. `scale` is per leading
+    spatial axis: (t,h,w) for video, (h,w) for images."""
+
+    scale: Sequence[float]
+
+    def __call__(self, x):
+        n = len(self.scale)
+        if all(s == 1 for s in self.scale):
+            return x
+        return resize_linear(x, self.scale, tuple(range(1, 1 + n)))
+
+
+class Sequential(nn.Module):
+    """Torch-style Sequential: child i is auto-named layers_i so the generic
+    weight converter maps torch 'seq.i.*' -> flax 'seq/layers_i/*'.
+
+    BatchNorm children receive use_running_average=not train.
+    """
+
+    layers: Sequence[nn.Module]
+
+    def __call__(self, x, train: bool = False):
+        for layer in self.layers:
+            x = apply_layer(layer, x, train)
+        return x
+
+
+def apply_layer(layer, x, train: bool):
+    if isinstance(layer, nn.BatchNorm):
+        return layer(x, use_running_average=not train)
+    try:
+        return layer(x, train=train)
+    except TypeError:
+        return layer(x)
+
+
+class DropPath(nn.Module):
+    """Stochastic depth per sample (timm DropPath semantics)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))

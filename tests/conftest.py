@@ -1,0 +1,26 @@
+"""Test harness: force JAX onto a virtual 8-device CPU platform so sharding
+tests run anywhere (the standard trick the reference's NCCL test gap calls
+for — SURVEY.md §4).
+
+Note: this image's sitecustomize imports jax at interpreter startup with
+JAX_PLATFORMS=axon (the TPU tunnel), so env vars alone are too late — we must
+go through jax.config.update before any backend is initialised.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(2023)

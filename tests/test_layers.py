@@ -1,0 +1,175 @@
+"""Layer-op parity vs torch: conv3d/conv2d padding+stride+groups, BatchNorm
+running-stat convention, max-pool -inf padding, half-pixel linear resize,
+exact GELU. These primitives carry every backbone, so parity here gates
+everything downstream."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from mspi_tpu.ops import layers as L
+
+
+def _conv3d_pair(rng, cin, cout, k, groups=1):
+    w = rng.standard_normal((cout, cin // groups, *k)).astype(np.float32) * 0.1
+    b = rng.standard_normal((cout,)).astype(np.float32) * 0.1
+    # torch [O,I/g,kt,kh,kw] -> flax [kt,kh,kw,I/g,O]
+    wj = np.transpose(w, (2, 3, 4, 1, 0))
+    return w, b, wj
+
+
+def test_conv3d_parity(rng):
+    x = rng.standard_normal((2, 3, 8, 14, 18)).astype(np.float32)  # NCTHW
+    w, b, wj = _conv3d_pair(rng, 3, 7, (3, 5, 5))
+    ref = F.conv3d(torch.tensor(x), torch.tensor(w), torch.tensor(b),
+                   stride=(2, 2, 2), padding=(1, 2, 2)).numpy()
+    mod = L.conv3d(3, 7, (3, 5, 5), stride=2, padding=(1, 2, 2))
+    xj = jnp.transpose(jnp.array(x), (0, 2, 3, 4, 1))  # NTHWC
+    out = mod.apply({"params": {"kernel": jnp.array(wj), "bias": jnp.array(b)}}, xj)
+    out = np.transpose(np.array(out), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_depthwise_conv3d_parity(rng):
+    c = 8
+    x = rng.standard_normal((2, c, 6, 10, 12)).astype(np.float32)
+    w, b, wj = _conv3d_pair(rng, c, c, (7, 1, 1), groups=c)
+    ref = F.conv3d(torch.tensor(x), torch.tensor(w), torch.tensor(b),
+                   padding=(3, 0, 0), groups=c).numpy()
+    mod = L.conv3d(c, c, (7, 1, 1), padding=(3, 0, 0), groups=c)
+    xj = jnp.transpose(jnp.array(x), (0, 2, 3, 4, 1))
+    out = mod.apply({"params": {"kernel": jnp.array(wj), "bias": jnp.array(b)}}, xj)
+    out = np.transpose(np.array(out), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_conv2d_parity(rng):
+    x = rng.standard_normal((2, 4, 17, 19)).astype(np.float32)
+    w = rng.standard_normal((6, 4, 3, 3)).astype(np.float32) * 0.1
+    ref = F.conv2d(torch.tensor(x), torch.tensor(w), None, stride=2, padding=1).numpy()
+    mod = L.conv2d(4, 6, 3, stride=2, padding=1, bias=False)
+    xj = jnp.transpose(jnp.array(x), (0, 2, 3, 1))
+    wj = np.transpose(w, (2, 3, 1, 0))
+    out = mod.apply({"params": {"kernel": jnp.array(wj)}}, xj)
+    out = np.transpose(np.array(out), (0, 3, 1, 2))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_maxpool3d_parity(rng):
+    x = rng.standard_normal((2, 3, 9, 15, 17)).astype(np.float32)
+    ref = F.max_pool3d(torch.tensor(x), kernel_size=(3, 3, 3), stride=(2, 2, 2),
+                       padding=(1, 1, 1)).numpy()
+    xj = jnp.transpose(jnp.array(x), (0, 2, 3, 4, 1))
+    out = L.max_pool(xj, (3, 3, 3), (2, 2, 2), (1, 1, 1))
+    out = np.transpose(np.array(out), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_maxpool3d_asymmetric_parity(rng):
+    x = rng.standard_normal((1, 2, 8, 14, 14)).astype(np.float32)
+    ref = F.max_pool3d(torch.tensor(x), kernel_size=(1, 3, 3), stride=(1, 2, 2),
+                       padding=(0, 1, 1)).numpy()
+    xj = jnp.transpose(jnp.array(x), (0, 2, 3, 4, 1))
+    out = L.max_pool(xj, (1, 3, 3), (1, 2, 2), (0, 1, 1))
+    out = np.transpose(np.array(out), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_batchnorm_eval_parity(rng):
+    c = 5
+    x = rng.standard_normal((2, c, 4, 6, 6)).astype(np.float32)
+    bn = torch.nn.BatchNorm3d(c, eps=1e-3, momentum=0.001)
+    bn.weight.data = torch.tensor(rng.standard_normal(c).astype(np.float32))
+    bn.bias.data = torch.tensor(rng.standard_normal(c).astype(np.float32))
+    bn.running_mean = torch.tensor(rng.standard_normal(c).astype(np.float32))
+    bn.running_var = torch.tensor(rng.random(c).astype(np.float32) + 0.5)
+    bn.eval()
+    ref = bn(torch.tensor(x)).detach().numpy()
+
+    mod = L.batchnorm(momentum=0.001, epsilon=1e-3)
+    xj = jnp.transpose(jnp.array(x), (0, 2, 3, 4, 1))
+    variables = {
+        "params": {"scale": jnp.array(bn.weight.detach().numpy()),
+                   "bias": jnp.array(bn.bias.detach().numpy())},
+        "batch_stats": {"mean": jnp.array(bn.running_mean.numpy()),
+                        "var": jnp.array(bn.running_var.numpy())},
+    }
+    out = mod.apply(variables, xj, use_running_average=True)
+    out = np.transpose(np.array(out), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-4)
+
+
+def test_batchnorm_train_updates_running_stats(rng):
+    c = 4
+    x = rng.standard_normal((8, c, 2, 4, 4)).astype(np.float32)
+    bn = torch.nn.BatchNorm3d(c, eps=1e-5, momentum=0.1)
+    bn.train()
+    ref = bn(torch.tensor(x)).detach().numpy()
+
+    mod = L.batchnorm(momentum=0.1, epsilon=1e-5)
+    xj = jnp.transpose(jnp.array(x), (0, 2, 3, 4, 1))
+    variables = {
+        "params": {"scale": jnp.ones(c), "bias": jnp.zeros(c)},
+        "batch_stats": {"mean": jnp.zeros(c), "var": jnp.ones(c)},
+    }
+    out, updated = mod.apply(variables, xj, use_running_average=False,
+                             mutable=["batch_stats"])
+    out = np.transpose(np.array(out), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.array(updated["batch_stats"]["mean"]),
+                               bn.running_mean.numpy(), atol=1e-5)
+    # torch running_var uses the unbiased batch variance
+    np.testing.assert_allclose(np.array(updated["batch_stats"]["var"]),
+                               bn.running_var.numpy(), atol=1e-4, rtol=1e-3)
+
+
+def test_trilinear_upsample_parity(rng):
+    x = rng.standard_normal((2, 3, 4, 7, 12)).astype(np.float32)
+    for sf in [(1, 2, 2), (1, 4, 4), (1, 8, 8), (2, 1, 1)]:
+        ref = F.interpolate(torch.tensor(x), scale_factor=sf, mode="trilinear",
+                            align_corners=False).numpy()
+        xj = jnp.transpose(jnp.array(x), (0, 2, 3, 4, 1))
+        out = L.Upsample(scale=sf)(xj)
+        out = np.transpose(np.array(out), (0, 4, 1, 2, 3))
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_bilinear_upsample_parity(rng):
+    x = rng.standard_normal((2, 3, 7, 12)).astype(np.float32)
+    ref = F.interpolate(torch.tensor(x), scale_factor=2, mode="bilinear",
+                        align_corners=False).numpy()
+    xj = jnp.transpose(jnp.array(x), (0, 2, 3, 1))
+    out = L.Upsample(scale=(2, 2))(xj)
+    out = np.transpose(np.array(out), (0, 3, 1, 2))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_gelu_exact(rng):
+    x = rng.standard_normal(64).astype(np.float32) * 3
+    ref = F.gelu(torch.tensor(x)).numpy()  # torch default = exact erf
+    out = np.array(L.gelu(jnp.array(x)))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_layernorm_eps(rng):
+    x = rng.standard_normal((2, 5, 16)).astype(np.float32)
+    ln = torch.nn.LayerNorm(16)
+    ln.weight.data = torch.tensor(rng.standard_normal(16).astype(np.float32))
+    ln.bias.data = torch.tensor(rng.standard_normal(16).astype(np.float32))
+    ref = ln(torch.tensor(x)).detach().numpy()
+    mod = L.layernorm()
+    out = mod.apply({"params": {"scale": jnp.array(ln.weight.detach().numpy()),
+                                "bias": jnp.array(ln.bias.detach().numpy())}},
+                    jnp.array(x))
+    np.testing.assert_allclose(np.array(out), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_avg_pool_parity(rng):
+    x = rng.standard_normal((2, 3, 8, 10, 10)).astype(np.float32)
+    ref = F.avg_pool3d(torch.tensor(x), kernel_size=(2, 2, 2), stride=(2, 2, 2)).numpy()
+    xj = jnp.transpose(jnp.array(x), (0, 2, 3, 4, 1))
+    out = L.avg_pool(xj, (2, 2, 2), (2, 2, 2))
+    out = np.transpose(np.array(out), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
