@@ -1,0 +1,110 @@
+"""ConvNeXt-Tiny feature extractor (the frozen image-saliency prior).
+
+Reference: model/model_utils.py:357-385 builds
+`timm.create_model("convnext_tiny", features_only=True)` and wraps it with two
+smooth heads.  Here the ConvNeXt-T trunk is implemented natively in flax —
+channels-last end to end (ConvNeXt is already a channels-last architecture;
+on TPU we never permute at all, unlike the torch version which round-trips
+NCHW<->NHWC inside every block).
+
+Scope names follow timm's FeatureListNet state-dict flattening
+(stem.0/stem.1, stages_0.blocks.N.{conv_dw,norm,mlp.fc1,mlp.fc2,gamma},
+stages_i.downsample.{0,1}) so the released
+`image_saliency_encoder_convnext_tiny.pt` converts mechanically.
+
+ConvNeXt-T: depths (3,3,9,3), dims (96,192,384,768), layer-scale 1e-6.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mspi_tpu.ops import Sequential, conv2d, dense, gelu, layernorm, trunc_normal_init
+
+
+class ConvNeXtBlock2d(nn.Module):
+    """timm ConvNeXtBlock: 7x7 depthwise -> LN -> MLP(4x, GELU) -> gamma."""
+
+    dim: int
+    layer_scale_init: float = 1e-6
+
+    def setup(self):
+        self.conv_dw = conv2d(self.dim, self.dim, 7, padding=3, groups=self.dim,
+                              kernel_init=trunc_normal_init(0.02))
+        self.norm = layernorm(epsilon=1e-6)
+        self.mlp = Mlp2d(self.dim, 4 * self.dim)
+        self.gamma = self.param(
+            "gamma", lambda key, shape: jnp.full(shape, self.layer_scale_init), (self.dim,)
+        )
+
+    def __call__(self, x):
+        shortcut = x
+        x = self.conv_dw(x)
+        x = self.norm(x)
+        x = self.mlp(x)
+        x = self.gamma * x
+        return shortcut + x
+
+
+class Mlp2d(nn.Module):
+    dim: int
+    hidden: int
+
+    def setup(self):
+        self.fc1 = dense(self.dim, self.hidden, kernel_init=trunc_normal_init(0.02))
+        self.fc2 = dense(self.hidden, self.dim, kernel_init=trunc_normal_init(0.02))
+
+    def __call__(self, x):
+        return self.fc2(gelu(self.fc1(x)))
+
+
+class ConvNeXtStage(nn.Module):
+    in_dim: int
+    dim: int
+    depth: int
+    has_downsample: bool  # 2x2 stride-2 conv preceded by LN
+
+    def setup(self):
+        if self.has_downsample:
+            self.downsample = Sequential([
+                layernorm(epsilon=1e-6),
+                conv2d(self.in_dim, self.dim, 2, stride=2,
+                       kernel_init=trunc_normal_init(0.02)),
+            ])
+        self.blocks = Sequential([ConvNeXtBlock2d(self.dim) for _ in range(self.depth)])
+
+    def __call__(self, x):
+        if self.has_downsample:
+            x = self.downsample(x)
+        return self.blocks(x)
+
+
+class ConvNeXtTinyFeatures(nn.Module):
+    """features_only ConvNeXt-T: [B,H,W,3] -> 4 maps at strides 4/8/16/32
+    with dims (96, 192, 384, 768)."""
+
+    depths: Sequence[int] = (3, 3, 9, 3)
+    dims: Sequence[int] = (96, 192, 384, 768)
+
+    def setup(self):
+        self.stem = Sequential([
+            conv2d(3, self.dims[0], 4, stride=4, kernel_init=trunc_normal_init(0.02)),
+            layernorm(epsilon=1e-6),
+        ])
+        stages = []
+        in_dim = self.dims[0]
+        for i, (dim, depth) in enumerate(zip(self.dims, self.depths)):
+            stages.append(ConvNeXtStage(in_dim, dim, depth, has_downsample=(i > 0)))
+            in_dim = dim
+        self.stages_0, self.stages_1, self.stages_2, self.stages_3 = stages
+
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+        x = self.stem(x)
+        o0 = self.stages_0(x)
+        o1 = self.stages_1(o0)
+        o2 = self.stages_2(o1)
+        o3 = self.stages_3(o2)
+        return o0, o1, o2, o3

@@ -1,0 +1,90 @@
+"""Helpers to import reference torch modules (read-only, for golden outputs
+in parity tests only — no reference code is copied into the framework).
+
+The reference imports timm/easydict/fvcore which aren't installed; we stub
+the handful of symbols the *backbone* files actually touch.
+"""
+
+import sys
+import types
+
+import numpy as np
+import torch
+
+REFERENCE = "/root/reference"
+
+
+def _stub_module(name):
+    mod = sys.modules.get(name)
+    if mod is None:
+        mod = types.ModuleType(name)
+        sys.modules[name] = mod
+    return mod
+
+
+def install_reference_stubs():
+    # timm.models.layers.{trunc_normal_, DropPath, to_2tuple}
+    timm = _stub_module("timm")
+    models = _stub_module("timm.models")
+    layers = _stub_module("timm.models.layers")
+    timm.models = models
+    models.layers = layers
+
+    def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        with torch.no_grad():
+            tensor.normal_(mean, std)
+            tensor.clamp_(a * std, b * std)
+        return tensor
+
+    class DropPath(torch.nn.Module):
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            return x
+
+    def to_2tuple(x):
+        return x if isinstance(x, tuple) else (x, x)
+
+    layers.trunc_normal_ = trunc_normal_
+    layers.DropPath = DropPath
+    layers.to_2tuple = to_2tuple
+
+    # easydict
+    easydict = _stub_module("easydict")
+
+    class EasyDict(dict):
+        def __init__(self, d=None, **kwargs):
+            super().__init__()
+            if d:
+                for k, v in d.items():
+                    setattr(self, k, v)
+
+        def __setattr__(self, name, value):
+            if isinstance(value, dict) and not isinstance(value, EasyDict):
+                value = EasyDict(value)
+            super().__setitem__(name, value)
+
+        __getattr__ = dict.__getitem__
+
+    easydict.EasyDict = EasyDict
+
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+
+
+def to_nthwc(x_ncthw: np.ndarray) -> np.ndarray:
+    return np.transpose(x_ncthw, (0, 2, 3, 4, 1))
+
+
+def to_ncthw(x_nthwc: np.ndarray) -> np.ndarray:
+    return np.transpose(x_nthwc, (0, 4, 1, 2, 3))
+
+
+def to_nhwc(x_nchw: np.ndarray) -> np.ndarray:
+    return np.transpose(x_nchw, (0, 2, 3, 1))
+
+
+def to_nchw(x_nhwc: np.ndarray) -> np.ndarray:
+    return np.transpose(x_nhwc, (0, 3, 1, 2))
