@@ -1,0 +1,79 @@
+"""Benchmark: audio-visual saliency inference throughput on TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": R}
+
+Measures the flagship AudioVisualSaliencyModel (16x224x384 clips + audio
+spectrogram, the exact inference.py workload) as a jitted batched forward on
+the real chip.  vs_baseline is the ratio to the reference PyTorch model's
+throughput on this image's CPU (BENCH_BASELINE.json, measured by
+tools/bench_torch_baseline.py; the reference repo itself publishes no AVSP
+throughput numbers — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mspi_tpu.config import get_config
+    from mspi_tpu.data.video import normalize_clip_jax
+    from mspi_tpu.models.fusion import AudioVisualSaliencyModel
+
+    backbone = os.environ.get("MSPI_BENCH_BACKBONE", "s3d")
+    batch = int(os.environ.get("MSPI_BENCH_BATCH", "8"))
+    cfg = get_config(backbone)
+    model = AudioVisualSaliencyModel(cfg=cfg)
+    h, w = cfg.data.resolution
+
+    rng = np.random.default_rng(0)
+    clips_u8 = jnp.asarray(rng.integers(0, 256, (batch, 16, h, w, 3), dtype=np.uint8))
+    audio = jnp.asarray(rng.standard_normal((batch, 257, 111, 1)).astype(np.float32))
+
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    normalize_clip_jax(clips_u8[:1]), audio[:1])
+
+    @jax.jit
+    def forward(clips_u8, audio):
+        out, _ = model.apply(variables, normalize_clip_jax(clips_u8), audio,
+                             train=False)
+        return out
+
+    # warmup / compile
+    forward(clips_u8, audio).block_until_ready()
+    forward(clips_u8, audio).block_until_ready()
+
+    iters = int(os.environ.get("MSPI_BENCH_ITERS", "20"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(clips_u8, audio)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    clips_per_sec = batch * iters / dt
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH_BASELINE.json")
+    vs = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)["torch_cpu_clips_per_sec"]
+        vs = clips_per_sec / base
+
+    print(json.dumps({
+        "metric": f"AVSP inference clips/sec/chip ({backbone}, 16x{h}x{w}, batch {batch})",
+        "value": round(clips_per_sec, 3),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""MSPI-TPU inference CLI: per-frame saliency PNGs for a dataset split.
+
+Mirrors /root/reference/inference.py:94-192: sorted JPEG frames per video,
+sliding 16-frame window (stride 1), the first len-1 frames predicted from
+the temporally *flipped* clip + flipped audio (inference.py:141-150), then
+GaussianBlur(11) -> exp -> resize (640,480) -> min-max -> uint8 PNG.
+
+TPU-native difference: sliding windows are *batched* — `--window_batch`
+windows run per jitted forward instead of one clip per call, which is where
+the >=5x clips/sec/chip win comes from.  Output files and ordering are
+identical to the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--weight", default="", type=str,
+                        help="torch .pt state dict or orbax checkpoint dir")
+    parser.add_argument("--save_path", default="./output", type=str)
+    parser.add_argument("--split", default=2, type=int)
+    parser.add_argument("--path_data", default="./AuViDataset", type=str)
+    parser.add_argument("--dataset", default="AVAD", type=str)
+    parser.add_argument("--clip_size", default=16, type=int)
+    parser.add_argument("--use_sound", default=True, type=bool)
+    parser.add_argument("--motion_encoder", default="mvitv2s", type=str)
+    parser.add_argument("--window_batch", default=8, type=int)
+    parser.add_argument("--audio_len_snippet", default=32, type=int,
+                        help="audio window length in frames; the reference's "
+                             "get_audio_feature defaults to 32 even for 16-frame "
+                             "clips (inference.py:24) — kept for output parity")
+    return parser.parse_args()
+
+
+def blur_exp_resize(pred_map: np.ndarray, img_size=(640, 480)) -> np.ndarray:
+    """Post-processing of inference.py:66-89 (host-side, like the reference)."""
+    import cv2
+
+    pred_map = cv2.GaussianBlur(pred_map, (11, 11), 0)
+    pred_map = np.exp(pred_map)
+    pred_map = cv2.resize(pred_map, img_size)
+    pred_map = (pred_map - pred_map.min()) / (pred_map.max() - pred_map.min())
+    return np.round(pred_map * 255).astype(np.uint8)
+
+
+def main():
+    args = parse_args()
+    import cv2
+
+    from mspi_tpu.config import get_config
+    from mspi_tpu.data.audio import get_audio_spectrogram, load_audio_mono_16k
+    from mspi_tpu.data.datasets import read_fold_list
+    from mspi_tpu.data.video import load_frame, normalize_clip_jax
+    from mspi_tpu.models.fusion import AudioVisualSaliencyModel, VisualSaliencyModel
+    from mspi_tpu.train import checkpoints as ckpt_lib
+
+    cfg = get_config(args.motion_encoder)
+    model_cls = AudioVisualSaliencyModel if args.use_sound else VisualSaliencyModel
+    model = model_cls(cfg=cfg)
+    h, w = cfg.data.resolution
+    len_temporal = args.clip_size
+
+    sample_clips = jnp.zeros((1, len_temporal, h, w, 3), jnp.float32)
+    sample_audio = jnp.zeros((1, *cfg.data.spectro_shape, 1), jnp.float32)
+    init_args = (sample_clips, sample_audio) if args.use_sound else (sample_clips,)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *init_args)
+    variables = jax.tree.map(np.asarray, variables)
+
+    if args.weight:
+        if os.path.isdir(args.weight):
+            import orbax.checkpoint as ocp
+
+            restored = ocp.StandardCheckpointer().restore(os.path.abspath(args.weight))
+            params = dict(restored["params"])
+            params.update(restored.get("frozen", {}))
+            variables = {"params": params, "batch_stats": restored["batch_stats"]}
+        else:
+            from mspi_tpu.convert import (convert_state_dict,
+                                          load_torch_checkpoint, merge_converted)
+
+            conv = convert_state_dict(load_torch_checkpoint(args.weight))
+            # strict=False load, matching inference.py:186
+            variables = {c: merge_converted(variables[c], conv.get(c, {}), strict=False)
+                         for c in variables}
+
+    @jax.jit
+    def forward(clips_u8, audio):
+        clips = normalize_clip_jax(clips_u8)
+        if args.use_sound:
+            out, _ = model.apply(variables, clips, audio, train=False)
+        else:
+            out, _ = model.apply(variables, clips, train=False)
+        return out
+
+    names, videos_fps, _ = read_fold_list(args.path_data, args.dataset, "test", args.split)
+    print(names)
+
+    for vname in names:
+        print("Processing: " + vname, flush=True)
+        audio_path = os.path.join(args.path_data, "video_audio", args.dataset, vname,
+                                  vname + ".wav")
+        audio_cache = load_audio_mono_16k(audio_path)
+        fps = videos_fps[vname]
+        list_frames = sorted(
+            glob.glob(os.path.join(args.path_data, "video_frames", args.dataset, vname, "*.jpg")),
+            key=lambda x: int(os.path.basename(x).split(".")[0].split("_")[1]))
+        out_dir = os.path.join(args.save_path, vname)
+        os.makedirs(out_dir, exist_ok=True)
+        if len(list_frames) < 2 * len_temporal - 1:
+            print("More frames are needed")
+            continue
+
+        frames = [load_frame(p, (h, w)) for p in list_frames]
+
+        # job list: (window_start, flipped?, output frame index)
+        jobs = []
+        for i in range(len_temporal - 1, len(list_frames)):
+            s = i - len_temporal + 1
+            jobs.append((s, False, i))
+            if i < 2 * len_temporal - 2:
+                jobs.append((s, True, s))
+
+        def make_inputs(job):
+            s, flipped, _ = job
+            clip = np.stack(frames[s:s + len_temporal])
+            aud = get_audio_spectrogram(None, s, fps, len_snippet=args.audio_len_snippet,
+                                        flip=flipped, audio_cache=audio_cache)
+            if flipped:
+                clip = clip[::-1]
+            return clip, aud[..., None]
+
+        for b0 in range(0, len(jobs), args.window_batch):
+            chunk = jobs[b0:b0 + args.window_batch]
+            pad = args.window_batch - len(chunk)
+            inputs = [make_inputs(j) for j in chunk]
+            clips = np.stack([c for c, _ in inputs] + [inputs[-1][0]] * pad)
+            auds = np.stack([a for _, a in inputs] + [inputs[-1][1]] * pad)
+            preds = np.asarray(forward(jnp.asarray(clips), jnp.asarray(auds)))
+            for (s, flipped, out_idx), pred in zip(chunk, preds):
+                png = blur_exp_resize(pred)
+                cv2.imwrite(os.path.join(out_dir, os.path.basename(list_frames[out_idx])), png)
+
+
+if __name__ == "__main__":
+    main()

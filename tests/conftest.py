@@ -16,6 +16,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the big fusion-model jits dominate test time;
+# cache them across runs.
+os.makedirs("/tmp/mspi_jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/mspi_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
