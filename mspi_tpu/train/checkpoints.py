@@ -78,7 +78,12 @@ def load_pretrained_encoders(cfg: MSPIConfig, variables: Dict[str, Any]) -> Dict
         jobs.append((mc.motion_encoder_weight, ("visnet",),
                      {"motion_encoder": mc.motion_encoder}))
     for path, prefix, extra in jobs:
-        sd = load_torch_checkpoint(path)
+        if extra.get("motion_encoder") == "slowfast4x16" or path.endswith(".pkl"):
+            from mspi_tpu.convert.caffe2 import load_caffe2_pickle
+
+            sd = load_caffe2_pickle(path)
+        else:
+            sd = load_torch_checkpoint(path)
         if extra.get("motion_encoder") == "videoswins":
             # mmaction checkpoints prefix the trunk with 'backbone.'
             # (video_swin_transformer.py:593-605)
