@@ -1,0 +1,201 @@
+"""UniFormer-B video backbone: conv-attention hybrid.
+
+Reference: /root/reference/backbones/uniformer.py
+(uniformer_b16x4_k400.yaml: dims (64,128,320,512), depths (5,8,20,7),
+head_dim 64, joint space-time SABlocks, SPLIT=False, STD=False).
+
+Stages 1-2 are CBlocks (depthwise-conv "attention": 1x1x1 -> 5x5x5 DW ->
+1x1x1 with BN3d norms); stages 3-4 are SABlocks (depthwise pos-embed conv +
+global joint MHSA over T*H*W tokens with LayerNorm(1e-6)).  Pyramid at
+strides 4/8/16/32, T=8 for a 16-frame clip.
+
+The stage-3 attention runs over up to 8*14*24 = 2688 tokens at 224x384 —
+one big MXU-friendly batched matmul under XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mspi_tpu.config import UniFormerConfig
+from mspi_tpu.ops import (DropPath, Sequential, batchnorm, conv3d, dense,
+                          gelu, layernorm)
+
+
+class Mlp(nn.Module):
+    dim: int
+    hidden: int
+
+    def setup(self):
+        self.fc1 = dense(self.dim, self.hidden)
+        self.fc2 = dense(self.hidden, self.dim)
+
+    def __call__(self, x):
+        return self.fc2(gelu(self.fc1(x)))
+
+
+class CMlp(nn.Module):
+    """1x1x1-conv MLP (uniformer.py:99-115)."""
+
+    dim: int
+    hidden: int
+
+    def setup(self):
+        self.fc1 = conv3d(self.dim, self.hidden, 1)
+        self.fc2 = conv3d(self.hidden, self.dim, 1)
+
+    def __call__(self, x):
+        return self.fc2(gelu(self.fc1(x)))
+
+
+class Attention(nn.Module):
+    """Joint space-time MHSA (uniformer.py:71-96). x: [B,N,C]."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+
+    def setup(self):
+        self.qkv = dense(self.dim, self.dim * 3, bias=self.qkv_bias)
+        self.proj = dense(self.dim, self.dim)
+
+    def __call__(self, x):
+        B, N, C = x.shape
+        H = self.num_heads
+        head = C // H
+        qkv = self.qkv(x).reshape(B, N, 3, H, head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (head ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        return self.proj(out)
+
+
+class CBlock(nn.Module):
+    """Conv block (uniformer.py:118-137): depthwise pos conv + BN-normed
+    depthwise 5x5x5 'attention' + CMlp."""
+
+    dim: int
+    drop_path: float = 0.0
+
+    def setup(self):
+        d = self.dim
+        self.pos_embed = conv3d(d, d, 3, 1, 1, groups=d)
+        self.norm1 = batchnorm()
+        self.conv1 = conv3d(d, d, 1)
+        self.conv2 = conv3d(d, d, 1)
+        self.attn = conv3d(d, d, 5, 1, 2, groups=d)
+        self.norm2 = batchnorm()
+        self.mlp = CMlp(d, int(d * 4))
+        self.dp = DropPath(self.drop_path)
+
+    def __call__(self, x, train: bool = False):
+        det = not train
+        ra = not train
+        x = x + self.pos_embed(x)
+        x = x + self.dp(self.conv2(self.attn(self.conv1(
+            self.norm1(x, use_running_average=ra)))), deterministic=det)
+        x = x + self.dp(self.mlp(self.norm2(x, use_running_average=ra)),
+                        deterministic=det)
+        return x
+
+
+class SABlock(nn.Module):
+    """Global joint space-time attention block (uniformer.py:140-163)."""
+
+    dim: int
+    num_heads: int
+    drop_path: float = 0.0
+
+    def setup(self):
+        d = self.dim
+        self.pos_embed = conv3d(d, d, 3, 1, 1, groups=d)
+        self.norm1 = layernorm(epsilon=1e-6)
+        self.attn = Attention(d, self.num_heads)
+        self.norm2 = layernorm(epsilon=1e-6)
+        self.mlp = Mlp(d, int(d * 4))
+        self.dp = DropPath(self.drop_path)
+
+    def __call__(self, x, train: bool = False):
+        det = not train
+        x = x + self.pos_embed(x)
+        B, T, H, W, C = x.shape
+        t = x.reshape(B, T * H * W, C)
+        t = t + self.dp(self.attn(self.norm1(t)), deterministic=det)
+        t = t + self.dp(self.mlp(self.norm2(t)), deterministic=det)
+        return t.reshape(B, T, H, W, C)
+
+
+class SpecialPatchEmbed(nn.Module):
+    """Stem (uniformer.py:204-229, sic 'SpeicalPatchEmbed'): (3,4,4)/s(2,4,4)
+    p(1,0,0) conv, then LayerNorm over channels."""
+
+    in_dim: int
+    embed_dim: int
+
+    def setup(self):
+        self.norm = layernorm()
+        self.proj = conv3d(self.in_dim, self.embed_dim, (3, 4, 4), (2, 4, 4), (1, 0, 0))
+
+    def __call__(self, x):
+        return self.norm(self.proj(x))
+
+
+class PatchEmbed(nn.Module):
+    """Stage transition (uniformer.py:232-260, STD=False): (1,2,2)/s(1,2,2)
+    conv + LayerNorm."""
+
+    in_dim: int
+    embed_dim: int
+
+    def setup(self):
+        self.norm = layernorm()
+        self.proj = conv3d(self.in_dim, self.embed_dim, (1, 2, 2), (1, 2, 2), 0)
+
+    def __call__(self, x):
+        return self.norm(self.proj(x))
+
+
+class UniFormerFeatures(nn.Module):
+    """[B,16,H,W,3] -> 4-level pyramid (64,128,320,512), T=8."""
+
+    cfg: UniFormerConfig
+
+    def setup(self):
+        c = self.cfg
+        dims, depths = c.embed_dim, c.depth
+        heads = [d // c.head_dim for d in dims]
+        total = sum(depths)
+        dpr = [0.1 * i / (total - 1) for i in range(total)]
+
+        self.patch_embed1 = SpecialPatchEmbed(3, dims[0])
+        self.patch_embed2 = PatchEmbed(dims[0], dims[1])
+        self.patch_embed3 = PatchEmbed(dims[1], dims[2])
+        self.patch_embed4 = PatchEmbed(dims[2], dims[3])
+
+        off = 0
+        self.blocks1 = Sequential([CBlock(dims[0], dpr[off + i]) for i in range(depths[0])])
+        off += depths[0]
+        self.blocks2 = Sequential([CBlock(dims[1], dpr[off + i]) for i in range(depths[1])])
+        off += depths[1]
+        self.blocks3 = Sequential([SABlock(dims[2], heads[2], dpr[off + i])
+                                   for i in range(depths[2])])
+        off += depths[2]
+        self.blocks4 = Sequential([SABlock(dims[3], heads[3], dpr[off + i])
+                                   for i in range(depths[3])])
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Sequence[jnp.ndarray]:
+        feas = []
+        x = self.blocks1(self.patch_embed1(x), train=train)
+        feas.append(x)
+        x = self.blocks2(self.patch_embed2(x), train=train)
+        feas.append(x)
+        x = self.blocks3(self.patch_embed3(x), train=train)
+        feas.append(x)
+        x = self.blocks4(self.patch_embed4(x), train=train)
+        feas.append(x)
+        return feas

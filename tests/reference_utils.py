@@ -70,6 +70,82 @@ def install_reference_stubs():
 
     easydict.EasyDict = EasyDict
 
+    # timm.models.vision_transformer (symbols referenced at import time)
+    vt = _stub_module("timm.models.vision_transformer")
+    vt.VisionTransformer = object
+    vt._cfg = lambda **kw: kw
+    models.vision_transformer = vt
+
+    # fvcore.nn (FlopCountAnalysis only used in __main__ blocks)
+    fvnn = _stub_module("fvcore.nn")
+    fvnn.FlopCountAnalysis = object
+    fvnn.flop_count_table = lambda *a, **k: ""
+    _stub_module("fvcore").nn = fvnn
+
+    # fvcore.common.config.CfgNode: yacs-style config with YAML merge
+    import ast
+
+    import yaml
+
+    class CfgNode(dict):
+        def __getattr__(self, name):
+            try:
+                return self[name]
+            except KeyError:
+                raise AttributeError(name)
+
+        def __setattr__(self, name, value):
+            self[name] = value
+
+        def merge_from_file(self, path):
+            with open(path) as f:
+                overrides = yaml.safe_load(f)
+            _cfg_merge(self, overrides or {})
+
+        def clone(self):
+            import copy
+
+            return copy.deepcopy(self)
+
+    def _decode(value):
+        if isinstance(value, str):
+            try:
+                return ast.literal_eval(value)
+            except (ValueError, SyntaxError):
+                return value
+        return value
+
+    def _cfg_merge(node, overrides):
+        for key, value in overrides.items():
+            if isinstance(value, dict) and isinstance(node.get(key), dict):
+                _cfg_merge(node[key], value)
+            else:
+                node[key] = _decode(value)
+
+    fvconfig = _stub_module("fvcore.common.config")
+    fvconfig.CfgNode = CfgNode
+    common = _stub_module("fvcore.common")
+    common.config = fvconfig
+    sys.modules["fvcore"].common = common
+
+    # iopath (SlowFast/slowfast/__init__ imports it via utils.env)
+    fio = _stub_module("iopath.common.file_io")
+
+    class PathManagerFactory:
+        @staticmethod
+        def get(key=None):
+            class PM:
+                @staticmethod
+                def open(path, mode="r"):
+                    return open(path, mode)
+
+            return PM()
+
+    fio.PathManagerFactory = PathManagerFactory
+    iop_common = _stub_module("iopath.common")
+    iop_common.file_io = fio
+    _stub_module("iopath").common = iop_common
+
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
 
