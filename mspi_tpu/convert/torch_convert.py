@@ -145,6 +145,11 @@ def merge_converted(
     if strict and unexpected:
         raise ValueError(f"unexpected keys in checkpoint: {unexpected[:10]}"
                          f" (+{max(0, len(unexpected) - 10)} more)")
+    if not strict and (unexpected or missing):
+        # surface silent drops (a mis-nested scope once hid zeroed weights)
+        print(f"[convert] non-strict merge: {len(unexpected)} checkpoint keys "
+              f"unused, {len(missing)} model leaves left at init"
+              + (f"; first unused: {'/'.join(unexpected[0])}" if unexpected else ""))
 
     out = dict(flat_target)
     for p, v in flat_conv.items():

@@ -1,0 +1,344 @@
+"""MViTv2-S video backbone: pooled attention + decomposed relative positions.
+
+Reference: /root/reference/backbones/MViT.py with configs/MVITv2_S_16x4.yaml:
+16 blocks, embed 96->768 (dim x2 at blocks 1/3/14, dim_mul_in_att), heads
+1->8, conv-mode q/kv pooling (depthwise 3x3x3, q stride (1,2,2) at the
+transition blocks, adaptive kv stride from (1,8,8)), decomposed spatial +
+temporal relative position biases, residual pooling, no cls token, no abs
+pos.  Pyramid tapped after blocks {0,2,13,15} (MViT.py:2061-2074) at
+strides 4/8/16/32 with T=8.
+
+TPU notes: tokens stay [B, N, C] with a statically-tracked (T,H,W); the
+depthwise pooling convs run channels-last over [B*heads, T, H, W, head_dim];
+rel-pos tables are interpolated (half-pixel linear, matching
+F.interpolate(mode='linear')) to the runtime geometry at trace time, so
+non-square inputs (224x384) work exactly as the torch code does.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from mspi_tpu.config import MViTConfig
+from mspi_tpu.models.videoswin import ModuleList
+from mspi_tpu.ops import (DropPath, conv3d, dense, gelu, layernorm, max_pool,
+                          resize_to, trunc_normal_init)
+
+
+def round_width(width, multiplier, min_width=1, divisor=1):
+    if not multiplier:
+        return width
+    width *= multiplier
+    min_width = min_width or divisor
+    width_out = max(min_width, int(width + divisor / 2) // divisor * divisor)
+    if width_out < 0.9 * width:
+        width_out += divisor
+    return int(width_out)
+
+
+def get_rel_pos(rel_pos: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Linear-interpolate a rel-pos table to length d (MViT.py:207-220)."""
+    if rel_pos.shape[0] == d:
+        return rel_pos
+    return resize_to(rel_pos, [d], [0])
+
+
+def cal_rel_pos_spatial(attn, q, q_shape, k_shape, rel_pos_h, rel_pos_w):
+    """Decomposed spatial rel-pos bias (MViT.py:905-955), no cls token."""
+    q_t, q_h, q_w = q_shape
+    k_t, k_h, k_w = k_shape
+    dh = int(2 * max(q_h, k_h) - 1)
+    dw = int(2 * max(q_w, k_w) - 1)
+
+    q_h_ratio = max(k_h / q_h, 1.0)
+    k_h_ratio = max(q_h / k_h, 1.0)
+    dist_h = (np.arange(q_h)[:, None] * q_h_ratio
+              - np.arange(k_h)[None, :] * k_h_ratio + (k_h - 1) * k_h_ratio)
+    q_w_ratio = max(k_w / q_w, 1.0)
+    k_w_ratio = max(q_w / k_w, 1.0)
+    dist_w = (np.arange(q_w)[:, None] * q_w_ratio
+              - np.arange(k_w)[None, :] * k_w_ratio + (k_w - 1) * k_w_ratio)
+
+    Rh = get_rel_pos(rel_pos_h, dh)[dist_h.astype(np.int64)]
+    Rw = get_rel_pos(rel_pos_w, dw)[dist_w.astype(np.int64)]
+
+    B, n_head, _, dim = q.shape
+    r_q = q.reshape(B, n_head, q_t, q_h, q_w, dim)
+    rel_h_q = jnp.einsum("bythwc,hkc->bythwk", r_q, Rh)
+    rel_w_q = jnp.einsum("bythwc,wkc->bythwk", r_q, Rw)
+
+    attn = (attn.reshape(B, n_head, q_t, q_h, q_w, k_t, k_h, k_w)
+            + rel_h_q[:, :, :, :, :, None, :, None]
+            + rel_w_q[:, :, :, :, :, None, None, :])
+    return attn.reshape(B, n_head, q_t * q_h * q_w, k_t * k_h * k_w)
+
+
+def cal_rel_pos_temporal(attn, q, q_shape, k_shape, rel_pos_t):
+    """Temporal rel-pos bias (MViT.py:958-997), no cls token."""
+    q_t, q_h, q_w = q_shape
+    k_t, k_h, k_w = k_shape
+    dt = int(2 * max(q_t, k_t) - 1)
+    rel = get_rel_pos(rel_pos_t, dt)
+
+    q_t_ratio = max(k_t / q_t, 1.0)
+    k_t_ratio = max(q_t / k_t, 1.0)
+    dist_t = (np.arange(q_t)[:, None] * q_t_ratio
+              - np.arange(k_t)[None, :] * k_t_ratio + (k_t - 1) * k_t_ratio)
+    Rt = rel[dist_t.astype(np.int64)]  # [q_t, k_t, dim]
+
+    B, n_head, _, dim = q.shape
+    r_q = q.reshape(B, n_head, q_t, q_h, q_w, dim)
+    rel_b = jnp.einsum("bythwc,tkc->bythwk", r_q, Rt)  # [B,H,qt,qh,qw,k_t]
+
+    attn = (attn.reshape(B, n_head, q_t, q_h, q_w, k_t, k_h, k_w)
+            + rel_b[:, :, :, :, :, :, None, None])
+    return attn.reshape(B, n_head, q_t * q_h * q_w, k_t * k_h * k_w)
+
+
+def apply_attention_pool(conv, x: jnp.ndarray, thw: Tuple[int, int, int]):
+    """Depthwise conv pooling of one attention stream (attention_pool +
+    conv-mode pool, MViT.py:170-204, 1090-1135): operates per head on
+    [B, heads, L, head_dim] with a shared depthwise filter."""
+    B, H, L, C = x.shape
+    T, Hh, Ww = thw
+    y = conv(x.reshape(B * H, T, Hh, Ww, C))
+    new_thw = y.shape[1:4]
+    return y.reshape(B, H, -1, C), tuple(new_thw)
+
+
+class MultiScaleAttention(nn.Module):
+    """Pooled multi-head attention (MViT.py:1016-1308), conv mode, fused qkv,
+    no cls token, residual pooling."""
+
+    dim: int
+    dim_out: int
+    input_size: Tuple[int, int, int]
+    num_heads: int
+    qkv_bias: bool
+    kernel_q: Tuple[int, int, int]
+    kernel_kv: Tuple[int, int, int]
+    stride_q: Tuple[int, int, int]
+    stride_kv: Tuple[int, int, int]
+    rel_pos_spatial: bool = True
+    rel_pos_temporal: bool = True
+    residual_pooling: bool = True
+
+    def setup(self):
+        head_dim = self.dim_out // self.num_heads
+        self.qkv = dense(self.dim, self.dim_out * 3, bias=self.qkv_bias)
+        self.proj = dense(self.dim_out, self.dim_out)
+
+        self.has_pool_q = not (math.prod(self.kernel_q) == 1 and math.prod(self.stride_q) == 1)
+        self.has_pool_kv = not (math.prod(self.kernel_kv) == 1 and math.prod(self.stride_kv) == 1)
+
+        def pool_conv(kernel, stride):
+            return conv3d(head_dim, head_dim, kernel, stride,
+                          tuple(k // 2 for k in kernel), groups=head_dim,
+                          bias=False)
+
+        if self.has_pool_q:
+            self.pool_q = pool_conv(self.kernel_q, self.stride_q)
+            self.norm_q = layernorm(epsilon=1e-6)
+        if self.has_pool_kv:
+            self.pool_k = pool_conv(self.kernel_kv, self.stride_kv)
+            self.norm_k = layernorm(epsilon=1e-6)
+            self.pool_v = pool_conv(self.kernel_kv, self.stride_kv)
+            self.norm_v = layernorm(epsilon=1e-6)
+
+        if self.rel_pos_spatial:
+            size = self.input_size[1]
+            q_size = size // self.stride_q[1]
+            kv_size = size // self.stride_kv[1]
+            rel_sp_dim = 2 * max(q_size, kv_size) - 1
+            ti = trunc_normal_init(0.02)
+            self.rel_pos_h = self.param("rel_pos_h", ti, (rel_sp_dim, head_dim))
+            self.rel_pos_w = self.param("rel_pos_w", ti, (rel_sp_dim, head_dim))
+        if self.rel_pos_temporal:
+            self.rel_pos_t = self.param("rel_pos_t", trunc_normal_init(0.02),
+                                        (2 * 8 - 1, head_dim))
+
+    def __call__(self, x: jnp.ndarray, thw: Tuple[int, int, int]):
+        B, N, _ = x.shape
+        H = self.num_heads
+        head = self.dim_out // H
+        qkv = self.qkv(x).reshape(B, N, 3, H, head).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # [B, H, N, head]
+
+        if self.has_pool_q:
+            q, q_shape = apply_attention_pool(self.pool_q, q, thw)
+            q = self.norm_q(q)
+        else:
+            q_shape = thw
+        if self.has_pool_kv:
+            k, k_shape = apply_attention_pool(self.pool_k, k, thw)
+            k = self.norm_k(k)
+            v, _ = apply_attention_pool(self.pool_v, v, thw)
+            v = self.norm_v(v)
+        else:
+            k_shape = thw
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * (head ** -0.5), k)
+        if self.rel_pos_spatial:
+            attn = cal_rel_pos_spatial(attn, q, q_shape, k_shape,
+                                       self.rel_pos_h, self.rel_pos_w)
+        if self.rel_pos_temporal:
+            attn = cal_rel_pos_temporal(attn, q, q_shape, k_shape, self.rel_pos_t)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        if self.residual_pooling:
+            out = out + q
+        out = out.transpose(0, 2, 1, 3).reshape(B, -1, self.dim_out)
+        return self.proj(out), q_shape
+
+
+class Mlp(nn.Module):
+    dim: int
+    hidden: int
+    out: int
+
+    def setup(self):
+        self.fc1 = dense(self.dim, self.hidden)
+        self.fc2 = dense(self.hidden, self.out)
+
+    def __call__(self, x):
+        return self.fc2(gelu(self.fc1(x)))
+
+
+class MultiScaleBlock(nn.Module):
+    """MViT.py:1311-1434 with DIM_MUL_IN_ATT=True: attention projects to
+    dim_out; the skip path is proj(norm1(x)) max-pooled by the q stride."""
+
+    dim: int
+    dim_out: int
+    num_heads: int
+    input_size: Tuple[int, int, int]
+    mlp_ratio: float
+    qkv_bias: bool
+    drop_path: float
+    kernel_q: Tuple[int, int, int]
+    kernel_kv: Tuple[int, int, int]
+    stride_q: Tuple[int, int, int]
+    stride_kv: Tuple[int, int, int]
+
+    def setup(self):
+        self.norm1 = layernorm(epsilon=1e-6)
+        self.attn = MultiScaleAttention(
+            self.dim, self.dim_out, self.input_size, self.num_heads,
+            self.qkv_bias, self.kernel_q, self.kernel_kv, self.stride_q,
+            self.stride_kv)
+        self.norm2 = layernorm(epsilon=1e-6)
+        self.mlp = Mlp(self.dim_out, int(self.dim_out * self.mlp_ratio), self.dim_out)
+        if self.dim != self.dim_out:
+            self.proj = dense(self.dim, self.dim_out)
+        self.dp = DropPath(self.drop_path)
+        self.has_pool_skip = math.prod(self.stride_q) > 1
+
+    def _pool_skip(self, x, thw):
+        if not self.has_pool_skip:
+            return x
+        kernel = tuple(s + 1 if s > 1 else s for s in self.stride_q)
+        pad = tuple(k // 2 for k in kernel)
+        B, N, C = x.shape
+        T, Hh, Ww = thw
+        y = max_pool(x.reshape(B, T, Hh, Ww, C), kernel, self.stride_q, pad)
+        return y.reshape(B, -1, C)
+
+    def __call__(self, x, thw, train: bool = False):
+        det = not train
+        x_norm = self.norm1(x)
+        x_block, thw_new = self.attn(x_norm, thw)
+        if self.dim != self.dim_out:
+            x = self.proj(x_norm)
+        x_res = self._pool_skip(x, thw)
+        x = x_res + self.dp(x_block, deterministic=det)
+        x = x + self.dp(self.mlp(self.norm2(x)), deterministic=det)
+        return x, thw_new
+
+
+class MViTFeatures(nn.Module):
+    """[B,16,H,W,3] -> pyramid (96,192,384,768) tapped at blocks {0,2,13,15}.
+
+    The per-block dim/head/stride schedule replays MViT.py:1777-1903 with
+    the MVITv2_S_16x4.yaml settings.
+    """
+
+    cfg: MViTConfig
+
+    def setup(self):
+        c = self.cfg
+        depth = c.depth
+        dim_mul = np.ones(depth + 1)
+        head_mul = np.ones(depth + 1)
+        for idx, mul in c.dim_mul:
+            dim_mul[idx] = mul
+        for idx, mul in c.head_mul:
+            head_mul[idx] = mul
+
+        stride_q = [list(s[1:]) for s in sorted(c.pool_q_stride)]
+        kernel = list(c.pool_kvq_kernel)
+        # adaptive kv strides (MViT.py:1799-1812)
+        stride_kv = []
+        _skv = list(c.pool_kv_stride_adaptive)
+        for i in range(depth):
+            if math.prod(stride_q[i]) > 0:
+                _skv = [max(_skv[d] // stride_q[i][d], 1) for d in range(3)]
+            stride_kv.append(list(_skv))
+
+        # train-crop-based geometry for rel-pos table sizing (square 224)
+        input_size = [16 // c.patch_stride[0], 224 // c.patch_stride[1],
+                      224 // c.patch_stride[2]]
+        embed_dim = c.embed_dim
+        num_heads = c.num_heads
+        dpr = [0.2 * i / (depth - 1) for i in range(depth)]
+        blocks = []
+        self._tap = set(c.out_indices)
+        for i in range(depth):
+            num_heads = round_width(num_heads, head_mul[i])
+            dim_out = round_width(embed_dim, dim_mul[i],
+                                  divisor=round_width(num_heads, head_mul[i]))
+            blocks.append(MultiScaleBlock(
+                dim=embed_dim, dim_out=dim_out, num_heads=num_heads,
+                input_size=tuple(input_size), mlp_ratio=c.mlp_ratio,
+                qkv_bias=c.qkv_bias, drop_path=dpr[i],
+                kernel_q=tuple(kernel), kernel_kv=tuple(kernel),
+                stride_q=tuple(stride_q[i]), stride_kv=tuple(stride_kv[i])))
+            if math.prod(stride_q[i]) > 1:
+                input_size = [s // st for s, st in zip(input_size, stride_q[i])]
+            embed_dim = dim_out
+        self.blocks = ModuleList(blocks)
+        self.patch_embed = PatchEmbedMViT(c.patch_kernel, c.patch_stride,
+                                          c.patch_padding, c.embed_dim)
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
+        x, thw = self.patch_embed(x)
+        feas = []
+        for i, blk in enumerate(self.blocks.layers):
+            x, thw = blk(x, thw, train=train)
+            if i in self._tap:
+                T, Hh, Ww = thw
+                feas.append(x.reshape(x.shape[0], T, Hh, Ww, -1))
+        return feas
+
+
+class PatchEmbedMViT(nn.Module):
+    """(3,7,7)/s(2,4,4)/p(1,3,3) patchify conv returning tokens + (T,H,W)
+    (SlowFast/stem_helper.py PatchEmbed as used at MViT.py:1720-1727)."""
+
+    kernel: Tuple[int, int, int]
+    stride: Tuple[int, int, int]
+    padding: Tuple[int, int, int]
+    embed_dim: int
+
+    def setup(self):
+        self.proj = conv3d(3, self.embed_dim, self.kernel, self.stride, self.padding)
+
+    def __call__(self, x):
+        y = self.proj(x)
+        B, T, H, W, C = y.shape
+        return y.reshape(B, T * H * W, C), (T, H, W)

@@ -134,10 +134,24 @@ def install_reference_stubs():
     class PathManagerFactory:
         @staticmethod
         def get(key=None):
+            import os
+
             class PM:
                 @staticmethod
                 def open(path, mode="r"):
                     return open(path, mode)
+
+                @staticmethod
+                def exists(path):
+                    return os.path.exists(path)
+
+                @staticmethod
+                def mkdirs(path):
+                    os.makedirs(path, exist_ok=True)
+
+                @staticmethod
+                def ls(path):
+                    return os.listdir(path)
 
             return PM()
 
@@ -145,6 +159,23 @@ def install_reference_stubs():
     iop_common = _stub_module("iopath.common")
     iop_common.file_io = fio
     _stub_module("iopath").common = iop_common
+
+    # simplejson (slowfast.utils.logging)
+    import json as _json
+
+    sys.modules.setdefault("simplejson", _json)
+
+    # pytorchvideo.layers.distributed (slowfast.utils.distributed)
+    pvd = _stub_module("pytorchvideo.layers.distributed")
+    pvd.cat_all_gather = lambda x, *a, **k: x
+    pvd.get_local_process_group = lambda: None
+    pvd.get_local_rank = lambda: 0
+    pvd.get_local_size = lambda: 1
+    pvd.get_world_size = lambda: 1
+    pvd.init_distributed_training = lambda *a, **k: None
+    pv_layers = _stub_module("pytorchvideo.layers")
+    pv_layers.distributed = pvd
+    _stub_module("pytorchvideo").layers = pv_layers
 
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)

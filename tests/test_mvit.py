@@ -1,0 +1,50 @@
+"""MViTv2-S parity vs the actual reference MViT (backbones/MViT.py) with its
+YAML config, at the production-style 224x384 resolution (exercising rel-pos
+interpolation for the non-square W axis)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from mspi_tpu.config import MViTConfig
+from mspi_tpu.convert import convert_state_dict, merge_converted
+from mspi_tpu.models.mvit import MViTFeatures
+
+from tests.reference_utils import install_reference_stubs, to_nthwc, to_ncthw
+
+
+@pytest.fixture(scope="module")
+def ref_mvit():
+    install_reference_stubs()
+    from backbones.MViT import MViT
+
+    torch.manual_seed(0)
+    model = MViT(["/root/reference/configs/MVITv2_S_16x4.yaml"])
+    model.eval()
+    return model
+
+
+def test_mvit_parity_and_shapes(ref_mvit, rng):
+    H, W = 224, 384
+    x = rng.standard_normal((1, 3, 16, H, W)).astype(np.float32)
+    with torch.no_grad():
+        ref_feats = ref_mvit([torch.tensor(x)])
+
+    model = MViTFeatures(cfg=MViTConfig())
+    xj = jnp.array(to_nthwc(x))
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), xj))
+    converted = convert_state_dict(ref_mvit.state_dict())
+    variables = merge_converted(
+        jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes), converted,
+        strict=False)  # reference keeps an unused trailing 'norm'
+    feats = model.apply(variables, xj)
+
+    expected_c = (96, 192, 384, 768)
+    for f, c, stride in zip(feats, expected_c, (4, 8, 16, 32)):
+        assert f.shape == (1, 8, H // stride, W // stride, c), f.shape
+
+    for ours, r in zip(feats, ref_feats):
+        np.testing.assert_allclose(to_ncthw(np.array(ours)), r.numpy(),
+                                   atol=2e-3, rtol=1e-3)
