@@ -1,0 +1,117 @@
+"""Standalone video-classification trainer/tester CLI.
+
+Reference: SlowFast/tools/run_net.py:15 + tools/{train_net,test_net}.py —
+the vendored framework's generic entry point.  Dispatches train/test on a
+Kinetics-style frame-directory dataset with any zoo classifier.
+
+Usage:
+  python tools/run_net.py --model slowfast4x16 --data_dir ./k400_frames \
+      --mode train --epochs 10 --batch_size 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="slowfast4x16",
+                   choices=["slowfast4x16", "x3dl", "mvitv2s"])
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--mode", default="train", choices=["train", "test"])
+    p.add_argument("--num_classes", default=400, type=int)
+    p.add_argument("--epochs", default=10, type=int)
+    p.add_argument("--batch_size", default=8, type=int)
+    p.add_argument("--base_lr", default=0.1, type=float)
+    p.add_argument("--optimizer", default="sgd")
+    p.add_argument("--weight_decay", default=1e-4, type=float)
+    p.add_argument("--warmup_epochs", default=0.0, type=float)
+    p.add_argument("--num_frames", default=16, type=int)
+    p.add_argument("--sampling_rate", default=4, type=int)
+    p.add_argument("--crop_size", default=224, type=int)
+    p.add_argument("--num_ensemble_views", default=10, type=int)
+    p.add_argument("--num_spatial_crops", default=3, type=int)
+    p.add_argument("--num_workers", default=4, type=int)
+    return p.parse_args()
+
+
+def collate(samples):
+    from mspi_tpu.data.video import normalize_frames
+
+    return {
+        "clips": normalize_frames(np.stack([s.clip for s in samples])),
+        "labels": np.array([s.label for s in samples]),
+        "indices": np.array([s.index for s in samples]),
+    }
+
+
+def batches(dataset, batch_size, shuffle, rng):
+    order = np.arange(len(dataset))
+    if shuffle:
+        rng.shuffle(order)
+    for b in range(len(dataset) // batch_size):
+        idxs = order[b * batch_size:(b + 1) * batch_size]
+        yield collate([dataset[int(i)] for i in idxs])
+
+
+def main():
+    args = parse_args()
+    from mspi_tpu.data.kinetics import KineticsFrames
+    from mspi_tpu.models.video_zoo import build_classifier
+    from mspi_tpu.train.classification import (create_cls_state, eval_epoch,
+                                               make_cls_eval_step,
+                                               make_cls_train_step,
+                                               perform_test, train_epoch)
+    from mspi_tpu.train.optim import construct_optimizer, lr_cosine
+    import jax.numpy as jnp
+
+    model = build_classifier(args.model, args.num_classes)
+    sample = jnp.zeros((1, args.num_frames, args.crop_size, args.crop_size, 3))
+    tx = construct_optimizer(None, args.optimizer, args.base_lr,
+                             weight_decay=args.weight_decay,
+                             zero_wd_1d_param=False)
+    state = create_cls_state(model, tx, sample)
+    rng = np.random.default_rng(0)
+
+    if args.mode == "train":
+        train_ds = KineticsFrames(args.data_dir, "train", args.num_frames,
+                                  args.sampling_rate, args.crop_size)
+        val_ds = KineticsFrames(args.data_dir, "val", args.num_frames,
+                                args.sampling_rate, args.crop_size)
+        train_step = make_cls_train_step(model, tx)
+        eval_step = make_cls_eval_step(model)
+        policy = lr_cosine(args.base_lr, 1e-6, args.epochs, args.warmup_epochs)
+        steps = len(train_ds) // args.batch_size
+        for epoch in range(args.epochs):
+            loader = batches(train_ds, args.batch_size, True, rng)
+            state, stats = train_epoch(state, train_step, loader, policy,
+                                       epoch, steps)
+            print(json.dumps({"train": stats}))
+            vloader = batches(val_ds, args.batch_size, False, rng)
+            vstats = eval_epoch(state, eval_step, vloader, epoch,
+                                len(val_ds) // args.batch_size)
+            print(json.dumps({"val": vstats}))
+    else:
+        test_ds = KineticsFrames(args.data_dir, "test", args.num_frames,
+                                 args.sampling_rate, args.crop_size,
+                                 num_ensemble_views=args.num_ensemble_views,
+                                 num_spatial_crops=args.num_spatial_crops)
+        eval_step = make_cls_eval_step(model)
+        loader = batches(test_ds, args.batch_size, False, rng)
+        num_videos = len(test_ds.items)
+        num_clips = args.num_ensemble_views * args.num_spatial_crops
+        stats = perform_test(state, eval_step, loader, num_videos, num_clips,
+                             args.num_classes)
+        print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()
