@@ -24,6 +24,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from mspi_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from mspi_tpu.config import get_config
     from mspi_tpu.data.video import normalize_clip_jax
     from mspi_tpu.models.fusion import AudioVisualSaliencyModel

@@ -56,6 +56,10 @@ def main():
     args = parse_args()
     import cv2
 
+    from mspi_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from mspi_tpu.config import get_config
     from mspi_tpu.data.audio import get_audio_spectrogram, load_audio_mono_16k
     from mspi_tpu.data.datasets import read_fold_list

@@ -51,6 +51,10 @@ def parse_args():
 def main():
     args = parse_args()
 
+    from mspi_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from mspi_tpu.config import get_config
     from mspi_tpu.data.datasets import build_training_datasets
     from mspi_tpu.data.loader import DataLoader
