@@ -24,7 +24,20 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 
 def load_frame(path: str, size: Tuple[int, int]) -> np.ndarray:
     """JPEG -> [H, W, 3] uint8 resized to `size` (h, w) with PIL bilinear
-    (antialiased, matching torchvision Resize)."""
+    (antialiased, matching torchvision Resize).
+
+    Set MSPI_NATIVE_LOADER=1 to decode+resize through the C++ library
+    (native/mspi_loader.cc) instead — same antialiased filter, libjpeg
+    decode, no Python per-pixel work.
+    """
+    import os
+
+    if os.environ.get("MSPI_NATIVE_LOADER"):
+        from mspi_tpu.data.native import load_frame_native
+
+        out = load_frame_native(path, size)
+        if out is not None:
+            return out
     from PIL import Image
 
     img = Image.open(path).convert("RGB")

@@ -142,7 +142,6 @@ class WindowAttention3D(nn.Module):
         head = C // H
         qkv = self.qkv(x).reshape(B_, N, 3, H, head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (head ** -0.5)
 
         # Bug-compatible with the reference (…py:172): the bias index grid is
         # always the *configured* window's, sliced [:N, :N].  When the window
@@ -151,9 +150,25 @@ class WindowAttention3D(nn.Module):
         # never clamp (only shifts zero out), so the two agree.
         idx = _rel_pos_index(*self.window_size)[:N, :N]
         bias = self.relative_position_bias_table[np.asarray(idx).reshape(-1)]
-        bias = bias.reshape(N, N, -1).transpose(2, 0, 1)
-        attn = attn + bias[None]
+        bias = bias.reshape(N, N, -1).transpose(2, 0, 1)  # [H, N, N]
 
+        from mspi_tpu.ops.pallas import pallas_enabled
+
+        if pallas_enabled() and N * N * 4 * 4 < 8 * 1024 * 1024:
+            # fused VMEM-resident kernel: the [B*nW, H, N, N] score tensor
+            # never touches HBM
+            from mspi_tpu.ops.pallas.attention import fused_window_attention
+
+            qh = q.transpose(0, 2, 1, 3)  # [B, H, N, D]
+            kh = k.transpose(0, 2, 1, 3)
+            vh = v.transpose(0, 2, 1, 3)
+            nW = mask.shape[0] if mask is not None else 1
+            out = fused_window_attention(qh, kh, vh, bias, mask, num_windows=nW)
+            out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+            return self.proj(out)
+
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (head ** -0.5)
+        attn = attn + bias[None]
         if mask is not None:
             nW = mask.shape[0]
             attn = attn.reshape(B_ // nW, nW, H, N, N) + mask[None, :, None]
