@@ -69,14 +69,22 @@ def cal_rel_pos_spatial(attn, q, q_shape, k_shape, rel_pos_h, rel_pos_w):
     Rw = get_rel_pos(rel_pos_w, dw)[dist_w.astype(np.int64)]
 
     B, n_head, _, dim = q.shape
+    q_n = q_t * q_h * q_w
+    k_n = k_t * k_h * k_w
     r_q = q.reshape(B, n_head, q_t, q_h, q_w, dim)
-    rel_h_q = jnp.einsum("bythwc,hkc->bythwk", r_q, Rh)
-    rel_w_q = jnp.einsum("bythwc,wkc->bythwk", r_q, Rw)
+    rel_h_q = jnp.einsum("bythwc,hkc->bythwk", r_q, Rh)  # [B,H,qt,qh,qw,k_h]
+    rel_w_q = jnp.einsum("bythwc,wkc->bythwk", r_q, Rw)  # [B,H,qt,qh,qw,k_w]
 
-    attn = (attn.reshape(B, n_head, q_t, q_h, q_w, k_t, k_h, k_w)
-            + rel_h_q[:, :, :, :, :, None, :, None]
-            + rel_w_q[:, :, :, :, :, None, None, :])
-    return attn.reshape(B, n_head, q_t * q_h * q_w, k_t * k_h * k_w)
+    # Expand each decomposed bias to the flat key axis with <=6-D tensors —
+    # the torch code reshapes attn to 8-D (MViT.py:1001-1010), which is
+    # numerically identical but pathological for TPU layout assignment.
+    bias_h = jnp.broadcast_to(
+        rel_h_q.reshape(B, n_head, q_n, 1, k_h, 1),
+        (B, n_head, q_n, k_t, k_h, k_w)).reshape(B, n_head, q_n, k_n)
+    bias_w = jnp.broadcast_to(
+        rel_w_q.reshape(B, n_head, q_n, 1, 1, k_w),
+        (B, n_head, q_n, k_t, k_h, k_w)).reshape(B, n_head, q_n, k_n)
+    return attn + bias_h + bias_w
 
 
 def cal_rel_pos_temporal(attn, q, q_shape, k_shape, rel_pos_t):
@@ -93,12 +101,15 @@ def cal_rel_pos_temporal(attn, q, q_shape, k_shape, rel_pos_t):
     Rt = rel[dist_t.astype(np.int64)]  # [q_t, k_t, dim]
 
     B, n_head, _, dim = q.shape
+    q_n = q_t * q_h * q_w
+    k_n = k_t * k_h * k_w
     r_q = q.reshape(B, n_head, q_t, q_h, q_w, dim)
     rel_b = jnp.einsum("bythwc,tkc->bythwk", r_q, Rt)  # [B,H,qt,qh,qw,k_t]
 
-    attn = (attn.reshape(B, n_head, q_t, q_h, q_w, k_t, k_h, k_w)
-            + rel_b[:, :, :, :, :, :, None, None])
-    return attn.reshape(B, n_head, q_t * q_h * q_w, k_t * k_h * k_w)
+    bias_t = jnp.broadcast_to(
+        rel_b.reshape(B, n_head, q_n, k_t, 1, 1),
+        (B, n_head, q_n, k_t, k_h, k_w)).reshape(B, n_head, q_n, k_n)
+    return attn + bias_t
 
 
 def apply_attention_pool(conv, x: jnp.ndarray, thw: Tuple[int, int, int]):
