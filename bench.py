@@ -34,6 +34,11 @@ def main():
 
     backbone = os.environ.get("MSPI_BENCH_BACKBONE", "s3d")
     batch = int(os.environ.get("MSPI_BENCH_BATCH", "8"))
+    dtype = os.environ.get("MSPI_BENCH_DTYPE", "float32")
+    if dtype == "bfloat16":
+        from mspi_tpu.ops.layers import set_default_compute_dtype
+
+        set_default_compute_dtype(jnp.bfloat16)
     cfg = get_config(backbone)
     model = AudioVisualSaliencyModel(cfg=cfg)
     h, w = cfg.data.resolution
@@ -76,7 +81,8 @@ def main():
         vs = clips_per_sec / base
 
     print(json.dumps({
-        "metric": f"AVSP inference clips/sec/chip ({backbone}, 16x{h}x{w}, batch {batch})",
+        "metric": f"AVSP inference clips/sec/chip ({backbone}, 16x{h}x{w}, "
+                  f"batch {batch}, {dtype})",
         "value": round(clips_per_sec, 3),
         "unit": "clips/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,

@@ -34,6 +34,20 @@ from flax import linen as nn
 Dtype = Any
 IntOrTuple = Union[int, Sequence[int]]
 
+# Global compute dtype for mixed precision: params stay float32, layer
+# computation casts to this dtype (flax `dtype` semantics). None = float32.
+_DEFAULT_COMPUTE_DTYPE: list = [None]
+
+
+def set_default_compute_dtype(dtype) -> None:
+    """Set the compute dtype used by all layer factories (e.g. jnp.bfloat16
+    for the TPU fast path). Call before building/applying a model."""
+    _DEFAULT_COMPUTE_DTYPE[0] = dtype
+
+
+def default_compute_dtype():
+    return _DEFAULT_COMPUTE_DTYPE[0]
+
 
 def _to_tuple(x: IntOrTuple, n: int) -> Tuple[int, ...]:
     if isinstance(x, int):
@@ -109,7 +123,7 @@ def _conv(
         feature_group_count=groups,
         use_bias=bias,
         kernel_dilation=_to_tuple(dilation, ndim),
-        dtype=dtype,
+        dtype=dtype if dtype is not None else default_compute_dtype(),
         kernel_init=kernel_init or torch_kernel_init,
         bias_init=bias_init or torch_bias_init(fan_in),
         name=name,
@@ -140,7 +154,7 @@ def dense(in_features: int, features: int, bias: bool = True, dtype=None,
     return nn.Dense(
         features,
         use_bias=bias,
-        dtype=dtype,
+        dtype=dtype if dtype is not None else default_compute_dtype(),
         kernel_init=kernel_init or torch_kernel_init,
         bias_init=bias_init or torch_bias_init(in_features),
         name=name,
@@ -158,7 +172,7 @@ def batchnorm(momentum: float = 0.1, epsilon: float = 1e-5, dtype=None,
         use_running_average=None,
         momentum=1.0 - momentum,
         epsilon=epsilon,
-        dtype=dtype,
+        dtype=dtype if dtype is not None else default_compute_dtype(),
         name=name,
     )
 
@@ -166,7 +180,10 @@ def batchnorm(momentum: float = 0.1, epsilon: float = 1e-5, dtype=None,
 def layernorm(epsilon: float = 1e-5, dtype=None, name: Optional[str] = None) -> nn.LayerNorm:
     """torch nn.LayerNorm over the trailing axis (eps=1e-5, torch default —
     flax's own default is 1e-6, which breaks parity)."""
-    return nn.LayerNorm(epsilon=epsilon, dtype=dtype, name=name)
+    return nn.LayerNorm(
+        epsilon=epsilon,
+        dtype=dtype if dtype is not None else default_compute_dtype(),
+        name=name)
 
 
 def max_pool(
