@@ -41,6 +41,19 @@ def parse_args():
     return parser.parse_args()
 
 
+def sliding_window_jobs(n_frames: int, len_temporal: int):
+    """Job list [(window_start, flipped, output_frame_idx)] reproducing the
+    reference's sliding-window order incl. the temporal-flip trick for the
+    first len-1 frames (inference.py:121-150)."""
+    jobs = []
+    for i in range(len_temporal - 1, n_frames):
+        s = i - len_temporal + 1
+        jobs.append((s, False, i))
+        if i < 2 * len_temporal - 2:
+            jobs.append((s, True, s))
+    return jobs
+
+
 def blur_exp_resize(pred_map: np.ndarray, img_size=(640, 480)) -> np.ndarray:
     """Post-processing of inference.py:66-89 (host-side, like the reference)."""
     import cv2
@@ -124,14 +137,7 @@ def main():
             continue
 
         frames = [load_frame(p, (h, w)) for p in list_frames]
-
-        # job list: (window_start, flipped?, output frame index)
-        jobs = []
-        for i in range(len_temporal - 1, len(list_frames)):
-            s = i - len_temporal + 1
-            jobs.append((s, False, i))
-            if i < 2 * len_temporal - 2:
-                jobs.append((s, True, s))
+        jobs = sliding_window_jobs(len(list_frames), len_temporal)
 
         def make_inputs(job):
             s, flipped, _ = job

@@ -45,6 +45,9 @@ def parse_args():
     parser.add_argument("--dp", default=None, type=int, help="data-parallel mesh size")
     parser.add_argument("--tp", default=1, type=int, help="tensor-parallel mesh size")
     parser.add_argument("--auto_resume", default=True, type=bool)
+    parser.add_argument("--resolution", default=None, nargs=2, type=int,
+                        help="override (H W), e.g. for smoke runs")
+    parser.add_argument("--monitored_epochs", default=None, nargs="+", type=int)
     return parser.parse_args()
 
 
@@ -68,10 +71,13 @@ def main():
     from mspi_tpu.utils.logging import MetricLogger, append_jsonl
 
     cfg = get_config(args.motion_encoder, overrides={
-        "data": {"root": args.data_root},
+        "data": {"root": args.data_root,
+                 **({"resolution": tuple(args.resolution)} if args.resolution else {})},
         "train": {"gamma": args.gamma,
                   **({"batch_size": args.batch_size} if args.batch_size else {})},
-        "solver": ({"max_epoch": args.epochs} if args.epochs else {}),
+        "solver": {**({"max_epoch": args.epochs} if args.epochs else {}),
+                   **({"monitored_epochs": tuple(args.monitored_epochs)}
+                      if args.monitored_epochs else {})},
     })
     use_sound = cfg.data.use_sound and args.dataset == "sound"
 
@@ -114,9 +120,14 @@ def main():
                      for c in variables}
 
     # Mesh + shardings
+    import math as _math
+
     n_dev = len(jax.devices())
     dp = args.dp or (n_dev // args.tp)
-    mesh = create_mesh((dp, args.tp))
+    # the DP axis must divide the global batch; shrink it if needed
+    dp = _math.gcd(dp, cfg.train.batch_size) or 1
+    mesh = create_mesh((dp, args.tp),
+                       devices=jax.devices()[: dp * args.tp])
     tx = make_optimizer(cfg)
     state = create_train_state(cfg, variables, tx)
     shardings = param_shardings(mesh, state)
