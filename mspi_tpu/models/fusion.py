@@ -431,7 +431,7 @@ class AudioVisualSaliencyModel(nn.Module):
                              self.upsample_8(s3)], axis=-1),
             train=train,
         )
-        out = out[:, 0, :, :, 0]  # [B,H,W]
+        out = out[:, 0, :, :, 0].astype(jnp.float32)  # [B,H,W]
         out = out - jax.scipy.special.logsumexp(out, axis=(1, 2), keepdims=True)
         return out, loss_av
 
@@ -490,6 +490,6 @@ class VisualSaliencyModel(nn.Module):
                              self.upsample_8(s3)], axis=-1),
             train=train,
         )
-        out = out[:, 0, :, :, 0]
+        out = out[:, 0, :, :, 0].astype(jnp.float32)
         out = out - jax.scipy.special.logsumexp(out, axis=(1, 2), keepdims=True)
         return out, 0.0
