@@ -1,0 +1,78 @@
+"""Training-step throughput benchmark on the attached TPU.
+
+Measures the full jitted train step (fwd + SalLoss + SimSiam + bwd + AdamW)
+at the reference training shapes — the engine_train.py hot loop.
+
+  python tools/bench_train.py [--backbone s3d --batch 8 --iters 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--backbone", default="s3d")
+    p.add_argument("--batch", default=8, type=int)
+    p.add_argument("--iters", default=10, type=int)
+    p.add_argument("--resolution", default=[224, 384], nargs=2, type=int)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mspi_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from mspi_tpu.config import get_config
+    from mspi_tpu.models.fusion import AudioVisualSaliencyModel
+    from mspi_tpu.train.engine import (create_train_state, make_optimizer,
+                                       make_train_step)
+
+    h, w = args.resolution
+    cfg = get_config(args.backbone, overrides={"data": {"resolution": (h, w)}})
+    model = AudioVisualSaliencyModel(cfg=cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "clips": jnp.asarray(rng.standard_normal((args.batch, 16, h, w, 3)).astype(np.float32)),
+        "audio": jnp.asarray(rng.standard_normal((args.batch, 257, 111, 1)).astype(np.float32)),
+        "gt": jnp.asarray(rng.random((args.batch, h, w)).astype(np.float32) + 1e-3),
+    }
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0),
+                                               batch["clips"][:1], batch["audio"][:1]))
+    variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    tx = make_optimizer(cfg)
+    state = create_train_state(cfg, variables, tx)
+    step = make_train_step(model, tx, gamma=1.0, donate=True)
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch, 1e-4)
+    jax.block_until_ready(metrics)
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, metrics = step(state, batch, 1e-4)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": f"AVSP train clips/sec/chip ({args.backbone}, 16x{h}x{w}, batch {args.batch})",
+        "value": round(args.batch * args.iters / dt, 3),
+        "unit": "clips/sec/chip",
+        "steps_per_sec": round(args.iters / dt, 3),
+        "compile_s": round(compile_s, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
