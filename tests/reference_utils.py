@@ -177,8 +177,11 @@ def install_reference_stubs():
     pv_layers.distributed = pvd
     _stub_module("pytorchvideo").layers = pv_layers
 
+    # APPEND so repo-root modules (inference.py, train.py) keep precedence;
+    # reference-only packages (backbones, model, SlowFast, config) still
+    # resolve to /root/reference.
     if REFERENCE not in sys.path:
-        sys.path.insert(0, REFERENCE)
+        sys.path.append(REFERENCE)
 
 
 def to_nthwc(x_ncthw: np.ndarray) -> np.ndarray:
