@@ -54,23 +54,32 @@ def main():
                                                audio[:1]))
     variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
+    # N forwards chained inside one program: timing that is robust to the
+    # host<->device transport's async readiness ACKs (a plain dispatch loop
+    # can both under- and over-report; see ROUND1_NOTES.md).
     @jax.jit
-    def forward(clips_u8, audio):
-        out, _ = model.apply(variables, normalize_clip_jax(clips_u8), audio,
-                             train=False)
-        return out
+    def run_n(variables, clips_u8, audio, n):
+        def body(_, carry):
+            c, acc = carry
+            out, _ = model.apply(variables, normalize_clip_jax(c), audio,
+                                 train=False)
+            s = jnp.sum(out)
+            # numerically-negligible feedback defeats loop-invariant hoisting
+            return (c + (s * 1e-30).astype(c.dtype), acc + s)
 
-    # warmup / compile
-    forward(clips_u8, audio).block_until_ready()
-    forward(clips_u8, audio).block_until_ready()
+        _, acc = jax.lax.fori_loop(
+            0, n, body, (clips_u8.astype(jnp.float32), jnp.float32(0)))
+        return acc
 
     iters = int(os.environ.get("MSPI_BENCH_ITERS", "20"))
+    float(run_n(variables, clips_u8, audio, 1))  # compile + warmup (D2H sync)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(clips_u8, audio)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    clips_per_sec = batch * iters / dt
+    float(run_n(variables, clips_u8, audio, iters + 1))
+    dt_n = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run_n(variables, clips_u8, audio, 1))
+    dt_1 = time.perf_counter() - t0
+    clips_per_sec = batch * iters / max(dt_n - dt_1, 1e-9)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BENCH_BASELINE.json")

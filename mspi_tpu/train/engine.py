@@ -81,10 +81,13 @@ def create_train_state(cfg: MSPIConfig, variables: Dict[str, Any],
 
 
 def make_train_step(model, tx: optax.GradientTransformation, gamma: float,
-                    use_sound: bool = True, donate: bool = True):
+                    use_sound: bool = True, donate: bool = True,
+                    jit: bool = True):
     """Returns jitted (state, batch, lr) -> (state, metrics).
 
     batch: dict(clips [B,T,H,W,3] float32, audio [B,F,Tw,1], gt [B,H,W]).
+    jit=False returns the raw step (for embedding in an outer program,
+    e.g. a fori_loop benchmark or a custom scan).
     """
 
     def loss_fn(params, frozen, batch_stats, batch, dropout_rng):
@@ -122,6 +125,8 @@ def make_train_step(model, tx: optax.GradientTransformation, gamma: float,
         metrics["grad_norm"] = gnorm
         return new_state, metrics
 
+    if not jit:
+        return train_step
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
