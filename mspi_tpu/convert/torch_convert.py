@@ -99,6 +99,18 @@ def convert_state_dict(
     return out
 
 
+def stack_blocks(tree: Dict[str, Any], count: int,
+                 inner: str = "scanned") -> Dict[str, Any]:
+    """Stack a converted Sequential scope {'layers_0': {...}, ...} into the
+    nn.scan layout {'scanned': leaves-with-leading-[count]-axis} (for modules
+    like UniFormerFeatures(scan_stage3=True))."""
+    import jax
+
+    blocks = [tree[f"layers_{i}"] for i in range(count)]
+    stacked = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *blocks)
+    return {inner: stacked}
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     """Load any of the torch checkpoint containers the reference consumes."""
     import torch

@@ -130,6 +130,65 @@ class SABlock(nn.Module):
         return t.reshape(B, T, H, W, C)
 
 
+class SABlockScan(nn.Module):
+    """SABlock body for nn.scan: identical math to SABlock but the drop-path
+    rate arrives as a scanned per-block input (functional drop path)."""
+
+    dim: int
+    num_heads: int
+
+    def setup(self):
+        d = self.dim
+        self.pos_embed = conv3d(d, d, 3, 1, 1, groups=d)
+        self.norm1 = layernorm(epsilon=1e-6)
+        self.attn = Attention(d, self.num_heads)
+        self.norm2 = layernorm(epsilon=1e-6)
+        self.mlp = Mlp(d, int(d * 4))
+
+    def __call__(self, x, rate, train: bool = False):
+        from mspi_tpu.ops.layers import drop_path_fn
+
+        det = not train
+        rng1 = rng2 = None
+        if not det:
+            rng1 = self.make_rng("dropout")
+            rng2 = self.make_rng("dropout")
+        x = x + self.pos_embed(x)
+        B, T, H, W, C = x.shape
+        t = x.reshape(B, T * H * W, C)
+        a = self.attn(self.norm1(t))
+        t = t + (a if det else drop_path_fn(rng1, a, rate, det))
+        m = self.mlp(self.norm2(t))
+        t = t + (m if det else drop_path_fn(rng2, m, rate, det))
+        return t.reshape(B, T, H, W, C), None
+
+
+class ScannedSABlocks(nn.Module):
+    """nn.scan over `count` identical SABlocks: one traced block instead of
+    `count` copies in the HLO — a large compile-time/program-size win for the
+    20-block stage (params gain a leading [count] axis; the converter stacks
+    the torch per-block weights, see mspi_tpu.convert.stack_blocks)."""
+
+    dim: int
+    num_heads: int
+    count: int
+    rates: Sequence[float]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        scan = nn.scan(
+            SABlockScan,
+            variable_axes={"params": 0},
+            split_rngs={"dropout": True, "params": True},
+            in_axes=(0, nn.broadcast),
+            length=self.count,
+        )
+        rates = jnp.asarray(list(self.rates), jnp.float32)
+        y, _ = scan(dim=self.dim, num_heads=self.num_heads,
+                    name="scanned")(x, rates, train)
+        return y
+
+
 class SpecialPatchEmbed(nn.Module):
     """Stem (uniformer.py:204-229, sic 'SpeicalPatchEmbed'): (3,4,4)/s(2,4,4)
     p(1,0,0) conv, then LayerNorm over channels."""
@@ -161,9 +220,14 @@ class PatchEmbed(nn.Module):
 
 
 class UniFormerFeatures(nn.Module):
-    """[B,16,H,W,3] -> 4-level pyramid (64,128,320,512), T=8."""
+    """[B,16,H,W,3] -> 4-level pyramid (64,128,320,512), T=8.
+
+    scan_stage3 folds the 20 identical stage-3 SABlocks into one nn.scan
+    (same math; params stacked [20, ...]; torch weights stack via
+    mspi_tpu.convert.stack_blocks)."""
 
     cfg: UniFormerConfig
+    scan_stage3: bool = False
 
     def setup(self):
         c = self.cfg
@@ -182,8 +246,12 @@ class UniFormerFeatures(nn.Module):
         off += depths[0]
         self.blocks2 = Sequential([CBlock(dims[1], dpr[off + i]) for i in range(depths[1])])
         off += depths[1]
-        self.blocks3 = Sequential([SABlock(dims[2], heads[2], dpr[off + i])
-                                   for i in range(depths[2])])
+        if self.scan_stage3:
+            self.blocks3 = ScannedSABlocks(dims[2], heads[2], depths[2],
+                                           tuple(dpr[off + i] for i in range(depths[2])))
+        else:
+            self.blocks3 = Sequential([SABlock(dims[2], heads[2], dpr[off + i])
+                                       for i in range(depths[2])])
         off += depths[2]
         self.blocks4 = Sequential([SABlock(dims[3], heads[3], dpr[off + i])
                                    for i in range(depths[3])])

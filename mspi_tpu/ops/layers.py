@@ -321,6 +321,17 @@ def apply_layer(layer, x, train: bool):
         return layer(x)
 
 
+def drop_path_fn(rng, x: jnp.ndarray, rate, deterministic: bool) -> jnp.ndarray:
+    """Functional stochastic depth; `rate` may be a traced scalar (e.g. a
+    scanned per-block rate)."""
+    if deterministic:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
 class DropPath(nn.Module):
     """Stochastic depth per sample (timm DropPath semantics)."""
 
