@@ -39,7 +39,11 @@ def main():
         from mspi_tpu.ops.layers import set_default_compute_dtype
 
         set_default_compute_dtype(jnp.bfloat16)
-    cfg = get_config(backbone)
+    res_env = os.environ.get("MSPI_BENCH_RES")  # e.g. "224,224" for morphmlps
+    overrides = {}
+    if res_env:
+        overrides = {"data": {"resolution": tuple(int(x) for x in res_env.split(","))}}
+    cfg = get_config(backbone, overrides=overrides)
     model = AudioVisualSaliencyModel(cfg=cfg)
     h, w = cfg.data.resolution
 
