@@ -265,6 +265,9 @@ class MSPIConfig:
             t4 = 4  # S3D halves T twice (stride-2 stem conv_t + stage-3 pool)
         if self.model.motion_encoder == "slowfast4x16":
             t4 = 4
+        # the per-backbone T tables assume the reference's 16-frame clips;
+        # scale for non-default num_frames (tiny dryrun shapes)
+        t4 = max(1, t4 * self.data.num_frames // 16)
         return t4 * (h // 32) * (w // 32)
 
 

@@ -266,9 +266,11 @@ class ResBlock(nn.Module):
 
 class ResStage(nn.Module):
     """Multi-pathway residual stage; blocks named pathway{p}_res{i}
-    (resnet_helper.py:620-825).  Nonlocal insertion is supported by the
-    standalone classifier zoo (mspi_tpu/models/video_zoo.py) — the MSPI
-    configs use empty NONLOCAL.LOCATION everywhere."""
+    (resnet_helper.py:620-825), with optional non-local blocks inserted
+    after the blocks listed in nonlocal_inds (resnet_helper.py:782-792,
+    named pathway{p}_nonlocal{i} like the torch module tree).  The MSPI
+    configs use empty NONLOCAL.LOCATION everywhere; the classifier zoo's
+    i3d/slow NLN variants enable it."""
 
     dim_in: Sequence[int]
     dim_out: Sequence[int]
@@ -279,6 +281,10 @@ class ResStage(nn.Module):
     num_groups: Sequence[int]
     num_block_temp_kernel: Sequence[int]
     trans_func_name: str = "bottleneck_transform"
+    nonlocal_inds: Sequence[Sequence[int]] = ()
+    nonlocal_group: Sequence[int] = ()
+    nonlocal_pool: Sequence[Sequence[int]] = ()
+    nonlocal_instantiation: str = "softmax"
 
     def setup(self):
         # extend temporal kernels to num_block_temp_kernel blocks, 1 after
@@ -288,6 +294,7 @@ class ResStage(nn.Module):
             for i in range(len(self.temp_kernel_sizes))
         ]
         for p in range(len(self.num_blocks)):
+            nl_inds = set(self.nonlocal_inds[p]) if self.nonlocal_inds else set()
             for i in range(self.num_blocks[p]):
                 block = ResBlock(
                     self.dim_in[p] if i == 0 else self.dim_out[p],
@@ -300,12 +307,34 @@ class ResStage(nn.Module):
                     block_idx=i,
                 )
                 setattr(self, f"pathway{p}_res{i}", block)
+                if i in nl_inds:
+                    from mspi_tpu.models.nonlocal_block import Nonlocal
+
+                    pool = (tuple(self.nonlocal_pool[p])
+                            if self.nonlocal_pool else None)
+                    setattr(self, f"pathway{p}_nonlocal{i}", Nonlocal(
+                        dim=self.dim_out[p], dim_inner=self.dim_out[p] // 2,
+                        pool_size=pool,
+                        instantiation=self.nonlocal_instantiation))
 
     def __call__(self, inputs, train: bool = False):
         output = []
         for p in range(len(self.num_blocks)):
             x = inputs[p]
+            nl_inds = set(self.nonlocal_inds[p]) if self.nonlocal_inds else set()
+            group = (self.nonlocal_group[p]
+                     if self.nonlocal_group else 1)
             for i in range(self.num_blocks[p]):
                 x = getattr(self, f"pathway{p}_res{i}")(x, train=train)
+                if i in nl_inds:
+                    nln = getattr(self, f"pathway{p}_nonlocal{i}")
+                    if group > 1:
+                        # fold temporal groups into the batch so attention is
+                        # restricted within each chunk (resnet_helper.py:795-807)
+                        B, T, H, W, C = x.shape
+                        x = x.reshape(B * group, T // group, H, W, C)
+                    x = nln(x, train=train)
+                    if group > 1:
+                        x = x.reshape(B, T, H, W, C)
             output.append(x)
         return output

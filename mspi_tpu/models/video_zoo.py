@@ -90,6 +90,85 @@ class MViTClassifier(nn.Module):
         return self.head(feats[-1], train=train, rng=rng)
 
 
+# Single-pathway ResNet video classifiers (video_model_builder.py:447-663):
+# per-arch conv1/res2..res5 temporal kernels (_TEMPORAL_KERNEL_BASIS :41-99)
+# and the post-res2 temporal pool (_POOL1 :100-109).
+_RESNET_TEMP_KERNELS = {
+    "c2d": ([1], [1], [1], [1], [1]),
+    "i3d": ([5], [3], [3, 1], [3, 1], [1, 3]),
+    "slow": ([1], [1], [1], [3], [3]),
+}
+_RESNET_POOL1 = {"c2d": (2, 1, 1), "i3d": (2, 1, 1), "slow": (1, 1, 1)}
+# i3d/slow NLN-R50: nonlocal after blocks [1,3] of res3 and [1,3,5] of res4
+# (configs/Kinetics/*_NLN_8x8_R50.yaml NONLOCAL.LOCATION).
+_NLN_LOCATIONS = ((), (1, 3), (1, 3, 5), ())
+
+
+class ResNetVideoClassifier(nn.Module):
+    """ResNet-50 video classifier: c2d / i3d / slow arches with optional
+    non-local insertion (video_model_builder.py ResNet + resnet_helper
+    nonlocal plumbing).  Param tree mirrors the torch module names
+    (s1/pathway0_stem, s2..s5/pathway0_res{i}, pathway0_nonlocal{i}, head)."""
+
+    arch: str = "slow"
+    num_classes: int = 400
+    depth: int = 50
+    width_per_group: int = 64
+    num_groups: int = 1
+    dropout_rate: float = 0.5
+    use_nonlocal: bool = False
+    nonlocal_group: int = 1
+    nonlocal_pool: Tuple[int, int, int] = (1, 2, 2)
+
+    def setup(self):
+        from mspi_tpu.models.resnet3d import ResStage, VideoModelStem
+
+        assert self.arch in _RESNET_TEMP_KERNELS, self.arch
+        assert self.depth == 50, "R50 block counts (3,4,6,3)"
+        tk = _RESNET_TEMP_KERNELS[self.arch]
+        w = self.width_per_group
+        dim_inner = self.num_groups * w
+        blocks = (3, 4, 6, 3)
+        self.s1 = VideoModelStem(
+            dim_in=[3], dim_out=[w], kernel=[(tk[0][0], 7, 7)],
+            stride=[(1, 2, 2)], padding=[(tk[0][0] // 2, 3, 3)])
+        dims = [(w, w * 4), (w * 4, w * 8), (w * 8, w * 16), (w * 16, w * 32)]
+        for s, ((din, dout), nb) in enumerate(zip(dims, blocks), start=2):
+            nl_inds = (_NLN_LOCATIONS[s - 2],) if self.use_nonlocal else ()
+            setattr(self, f"s{s}", ResStage(
+                dim_in=[din], dim_out=[dout],
+                stride=[1 if s == 2 else 2],
+                temp_kernel_sizes=[tk[s - 1]], num_blocks=[nb],
+                dim_inner=[dim_inner * (2 ** (s - 2))],
+                num_groups=[self.num_groups], num_block_temp_kernel=[nb],
+                nonlocal_inds=nl_inds,
+                nonlocal_group=(self.nonlocal_group,) if self.use_nonlocal else (),
+                nonlocal_pool=(self.nonlocal_pool,) if self.use_nonlocal else ()))
+        self.head = ResNetBasicHead(dim_in=[w * 32],
+                                    num_classes=self.num_classes,
+                                    dropout_rate=self.dropout_rate)
+
+    def features(self, clips, train: bool = False):
+        from mspi_tpu.ops import max_pool
+
+        xs = self.s1([clips], train=train)
+        xs = self.s2(xs, train=train)
+        p = _RESNET_POOL1[self.arch]
+        if any(s > 1 for s in p):
+            xs = [max_pool(x, p, p, 0) for x in xs]
+        v2 = xs[0]
+        xs = self.s3(xs, train=train)
+        v3 = xs[0]
+        xs = self.s4(xs, train=train)
+        v4 = xs[0]
+        xs = self.s5(xs, train=train)
+        return [v2, v3, v4, xs[0]]
+
+    def __call__(self, clips, train: bool = False, rng=None):
+        feats = self.features(clips, train=train)
+        return self.head([feats[-1]], train=train, rng=rng)
+
+
 def build_classifier(name: str, num_classes: int = 400) -> nn.Module:
     if name == "slowfast4x16":
         return SlowFastClassifier(cfg=SlowFastConfig(), num_classes=num_classes)
@@ -97,4 +176,9 @@ def build_classifier(name: str, num_classes: int = 400) -> nn.Module:
         return X3DClassifier(cfg=X3DConfig(), num_classes=num_classes)
     if name == "mvitv2s":
         return MViTClassifier(cfg=MViTConfig(), num_classes=num_classes)
+    if name in ("c2d", "i3d", "slow"):
+        return ResNetVideoClassifier(arch=name, num_classes=num_classes)
+    if name.endswith("_nln") and name[:-4] in ("c2d", "i3d", "slow"):
+        return ResNetVideoClassifier(arch=name[:-4], num_classes=num_classes,
+                                     use_nonlocal=True)
     raise ValueError(f"unknown classifier {name!r}")
