@@ -71,3 +71,27 @@ def short_cycle_crops(base_crop: int,
     crops = [int(round(base_crop * f)) for f in factors]
     crops = [c - c % 8 for c in crops]
     return crops + [base_crop]
+
+
+def short_cycle_batches(num_samples: int, base_batch: int, base_crop: int,
+                        factors: Sequence[float] = DEFAULT_SHORT_CYCLE_FACTORS,
+                        rng=None, shuffle: bool = True):
+    """ShortCycleBatchSampler (multigrid_helper.py:19-77): iterate sample
+    indices in batches whose (batch_size, crop_size) cycles every iteration —
+    smaller crops get proportionally bigger batches so per-step pixel count
+    stays constant.  Yields (indices, crop_size)."""
+    import numpy as np
+
+    crops = short_cycle_crops(base_crop, factors)
+    batch_sizes = [max(1, int(round(base_batch * (base_crop / c) ** 2)))
+                   for c in crops]
+    order = np.arange(num_samples)
+    if shuffle:
+        (rng or np.random.default_rng()).shuffle(order)
+    pos = 0
+    it = 0
+    while pos + batch_sizes[it % len(crops)] <= num_samples:
+        b = batch_sizes[it % len(crops)]
+        yield order[pos:pos + b], crops[it % len(crops)]
+        pos += b
+        it += 1
