@@ -70,3 +70,27 @@ def test_graft_entry_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_driver_invocation():
+    """The driver's EXACT invocation shape: a fresh subprocess (no conftest
+    env), pinned to one core like this 1-CPU image.  ~9 min cold / ~2 min
+    with a warm /tmp compile cache, so gated behind MSPI_RUN_DRIVER_CHECK=1
+    (run manually; see ROUND2_NOTES.md)."""
+    import os
+    import subprocess
+    import sys
+
+    if not os.environ.get("MSPI_RUN_DRIVER_CHECK"):
+        import pytest
+
+        pytest.skip("set MSPI_RUN_DRIVER_CHECK=1 to run the subprocess check")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    out = subprocess.run(
+        ["taskset", "-c", "0", sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=2400)
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
+    assert "dryrun_multichip ok" in out.stdout
