@@ -98,6 +98,18 @@ class Attention(nn.Module):
         head = C // H
         qkv = self.qkv(x).reshape(B, N, 3, H, head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,N,H,head]
+
+        from mspi_tpu.ops.pallas import pallas_enabled
+
+        if pallas_enabled() and N <= 2048:
+            from mspi_tpu.ops.pallas.pooled_attention import fused_attention
+
+            out = fused_attention(q.transpose(0, 2, 1, 3) * (head ** -0.5),
+                                  k.transpose(0, 2, 1, 3),
+                                  v.transpose(0, 2, 1, 3))
+            out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+            return self.proj(out)
+
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (head ** -0.5)
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)

@@ -49,8 +49,9 @@ def get_rel_pos(rel_pos: jnp.ndarray, d: int) -> jnp.ndarray:
     return resize_to(rel_pos, [d], [0])
 
 
-def cal_rel_pos_spatial(attn, q, q_shape, k_shape, rel_pos_h, rel_pos_w):
-    """Decomposed spatial rel-pos bias (MViT.py:905-955), no cls token."""
+def rel_proj_spatial(q, q_shape, k_shape, rel_pos_h, rel_pos_w):
+    """Per-query spatial rel-pos projections (the q . R einsums of
+    MViT.py:905-955): [B,H,Nq,k_h] and [B,H,Nq,k_w]."""
     q_t, q_h, q_w = q_shape
     k_t, k_h, k_w = k_shape
     dh = int(2 * max(q_h, k_h) - 1)
@@ -70,10 +71,22 @@ def cal_rel_pos_spatial(attn, q, q_shape, k_shape, rel_pos_h, rel_pos_w):
 
     B, n_head, _, dim = q.shape
     q_n = q_t * q_h * q_w
-    k_n = k_t * k_h * k_w
     r_q = q.reshape(B, n_head, q_t, q_h, q_w, dim)
     rel_h_q = jnp.einsum("bythwc,hkc->bythwk", r_q, Rh)  # [B,H,qt,qh,qw,k_h]
     rel_w_q = jnp.einsum("bythwc,wkc->bythwk", r_q, Rw)  # [B,H,qt,qh,qw,k_w]
+    return (rel_h_q.reshape(B, n_head, q_n, k_h),
+            rel_w_q.reshape(B, n_head, q_n, k_w))
+
+
+def cal_rel_pos_spatial(attn, q, q_shape, k_shape, rel_pos_h, rel_pos_w):
+    """Decomposed spatial rel-pos bias (MViT.py:905-955), no cls token."""
+    q_t, q_h, q_w = q_shape
+    k_t, k_h, k_w = k_shape
+    B, n_head, _, dim = q.shape
+    q_n = q_t * q_h * q_w
+    k_n = k_t * k_h * k_w
+    rel_h_q, rel_w_q = rel_proj_spatial(q, q_shape, k_shape,
+                                        rel_pos_h, rel_pos_w)
 
     # Expand each decomposed bias to the flat key axis with <=6-D tensors —
     # the torch code reshapes attn to 8-D (MViT.py:1001-1010), which is
@@ -87,8 +100,8 @@ def cal_rel_pos_spatial(attn, q, q_shape, k_shape, rel_pos_h, rel_pos_w):
     return attn + bias_h + bias_w
 
 
-def cal_rel_pos_temporal(attn, q, q_shape, k_shape, rel_pos_t):
-    """Temporal rel-pos bias (MViT.py:958-997), no cls token."""
+def rel_proj_temporal(q, q_shape, k_shape, rel_pos_t):
+    """Per-query temporal rel-pos projection: [B,H,Nq,k_t]."""
     q_t, q_h, q_w = q_shape
     k_t, k_h, k_w = k_shape
     dt = int(2 * max(q_t, k_t) - 1)
@@ -102,14 +115,68 @@ def cal_rel_pos_temporal(attn, q, q_shape, k_shape, rel_pos_t):
 
     B, n_head, _, dim = q.shape
     q_n = q_t * q_h * q_w
-    k_n = k_t * k_h * k_w
     r_q = q.reshape(B, n_head, q_t, q_h, q_w, dim)
     rel_b = jnp.einsum("bythwc,tkc->bythwk", r_q, Rt)  # [B,H,qt,qh,qw,k_t]
+    return rel_b.reshape(B, n_head, q_n, k_t)
+
+
+def cal_rel_pos_temporal(attn, q, q_shape, k_shape, rel_pos_t):
+    """Temporal rel-pos bias (MViT.py:958-997), no cls token."""
+    q_t, q_h, q_w = q_shape
+    k_t, k_h, k_w = k_shape
+    B, n_head, _, dim = q.shape
+    q_n = q_t * q_h * q_w
+    k_n = k_t * k_h * k_w
+    rel_b = rel_proj_temporal(q, q_shape, k_shape, rel_pos_t)
 
     bias_t = jnp.broadcast_to(
         rel_b.reshape(B, n_head, q_n, k_t, 1, 1),
         (B, n_head, q_n, k_t, k_h, k_w)).reshape(B, n_head, q_n, k_n)
     return attn + bias_t
+
+
+def _onehot_rows(axis: str, k_shape) -> np.ndarray:
+    """Static 0/1 expansion matrix mapping a decomposed rel-pos axis to the
+    flat key index (row-major t,h,w): E[a, j] = 1 iff key j's `axis`
+    coordinate equals a."""
+    k_t, k_h, k_w = k_shape
+    idx = np.arange(k_t * k_h * k_w)
+    if axis == "t":
+        a, n = idx // (k_h * k_w), k_t
+    elif axis == "h":
+        a, n = (idx // k_w) % k_h, k_h
+    else:
+        a, n = idx % k_w, k_w
+    E = np.zeros((n, idx.size), np.float32)
+    E[a, idx] = 1.0
+    return E
+
+
+def augment_for_fused_attn(q, k, q_shape, k_shape, scale,
+                           rel_pos_t=None, rel_pos_h=None, rel_pos_w=None):
+    """Fold MViT's decomposed rel-pos bias into the attention contraction:
+    q gains the per-query rel projections as extra lanes, k gains the
+    matching static 0/1 expansion rows, so softmax((q*scale) k^T + bias)
+    == softmax(q_aug k_aug^T).  head_dim 96 + (8+7+12) bias lanes = 123,
+    one MXU lane tile — the bias costs nothing extra in the fused kernel
+    and its gradient falls out of dq_aug/dk_aug."""
+    B, H, _, _ = q.shape
+    cols = [q * scale]
+    rows = []
+    if rel_pos_t is not None:
+        cols.append(rel_proj_temporal(q, q_shape, k_shape, rel_pos_t))
+        rows.append(_onehot_rows("t", k_shape))
+    if rel_pos_h is not None:
+        rh, rw = rel_proj_spatial(q, q_shape, k_shape, rel_pos_h, rel_pos_w)
+        cols += [rh, rw]
+        rows += [_onehot_rows("h", k_shape), _onehot_rows("w", k_shape)]
+    q_aug = jnp.concatenate(cols, axis=-1)
+    if not rows:
+        return q_aug, k
+    E = jnp.asarray(np.concatenate(rows, axis=0).T, k.dtype)  # [Nk, R]
+    k_aug = jnp.concatenate(
+        [k, jnp.broadcast_to(E[None, None], (B, H, *E.shape))], axis=-1)
+    return q_aug, k_aug
 
 
 def apply_attention_pool(conv, x: jnp.ndarray, thw: Tuple[int, int, int]):
@@ -194,14 +261,30 @@ class MultiScaleAttention(nn.Module):
         else:
             k_shape = thw
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q * (head ** -0.5), k)
-        if self.rel_pos_spatial:
-            attn = cal_rel_pos_spatial(attn, q, q_shape, k_shape,
-                                       self.rel_pos_h, self.rel_pos_w)
-        if self.rel_pos_temporal:
-            attn = cal_rel_pos_temporal(attn, q, q_shape, k_shape, self.rel_pos_t)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        from mspi_tpu.ops.pallas import pallas_enabled
+
+        # Fused Pallas path: after kv pooling Nk is small (672 at the
+        # reference resolution), so the whole [TQ, Nk] score tile lives in
+        # VMEM and the [B,H,Nq,Nk] tensor never round-trips HBM.
+        if pallas_enabled() and k.shape[2] <= 2048:
+            from mspi_tpu.ops.pallas.pooled_attention import fused_attention
+
+            q_aug, k_aug = augment_for_fused_attn(
+                q, k, q_shape, k_shape, head ** -0.5,
+                rel_pos_t=self.rel_pos_t if self.rel_pos_temporal else None,
+                rel_pos_h=self.rel_pos_h if self.rel_pos_spatial else None,
+                rel_pos_w=self.rel_pos_w if self.rel_pos_spatial else None)
+            out = fused_attention(q_aug, k_aug, v)
+        else:
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q * (head ** -0.5), k)
+            if self.rel_pos_spatial:
+                attn = cal_rel_pos_spatial(attn, q, q_shape, k_shape,
+                                           self.rel_pos_h, self.rel_pos_w)
+            if self.rel_pos_temporal:
+                attn = cal_rel_pos_temporal(attn, q, q_shape, k_shape,
+                                            self.rel_pos_t)
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         if self.residual_pooling:
             out = out + q
         out = out.transpose(0, 2, 1, 3).reshape(B, -1, self.dim_out)

@@ -69,6 +69,21 @@ class Attention(nn.Module):
         head = C // H
         qkv = self.qkv(x).reshape(B, N, 3, H, head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        from mspi_tpu.ops.pallas import pallas_enabled
+
+        # Fused Pallas attention: at stage 3 (N=2688, head_dim 64) K/V fit
+        # VMEM, and XLA would otherwise round-trip [B,H,N,N] (~29 MB per
+        # head-batch) through HBM.
+        if pallas_enabled() and N <= 4096:
+            from mspi_tpu.ops.pallas.pooled_attention import fused_attention
+
+            out = fused_attention(q.transpose(0, 2, 1, 3) * (head ** -0.5),
+                                  k.transpose(0, 2, 1, 3),
+                                  v.transpose(0, 2, 1, 3))
+            out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+            return self.proj(out)
+
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (head ** -0.5)
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)

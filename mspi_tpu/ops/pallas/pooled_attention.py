@@ -1,0 +1,179 @@
+"""Pallas fused attention for pooled (cross-shape) attention — fwd + bwd.
+
+Used by the MViT pooled attention (the flagship hot loop, reference
+backbones/MViT.py:905-1014 rel-pos + :1066-1136 attention) and the
+SyncBlock cross-modal attention.  XLA materialises the [B, H, Nq, Nk]
+score tensor in HBM between the two attention matmuls; at 224x384 MViT-S
+stage 1 that is a [B, 1, 43008, 672] fp32 round-trip per block.  This
+kernel keeps each q-tile's scores entirely in VMEM: K/V after MViT's kv
+pooling are small (Nk = 672 at every stage at the reference resolution),
+so one grid step = (batch, head, q-tile) computing softmax(q k^T) v with
+fp32 softmax, writing only the [TQ, Dv] output.
+
+The decomposed relative-position bias is NOT an argument: callers fold it
+into the contraction by augmenting q with the per-query rel-pos
+projections (q . Rt | q . Rh | q . Rw) and k with the matching static 0/1
+expansion matrix (see mspi_tpu/models/mvit.py::_augment_for_fused_attn) —
+bias addition becomes part of the single MXU matmul (head_dim 96 + 27
+bias lanes = 123 ≈ one 128 lane tile), and the bias gradient falls out of
+dq/dk automatically, so the custom_vjp below stays bias-free.
+
+Backward is a Pallas kernel on the same tiling: recompute probs per
+q-tile, then dv += P^T dO, dS = P*(dO V^T - rowsum), dq = dS K,
+dk += dS^T Q, with dk/dv accumulated across q-tiles inside the grid
+(q-tile axis fastest so the accumulator block stays resident).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _softmax(scores):
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    probs = jnp.exp(scores)
+    return probs / jnp.sum(probs, axis=-1, keepdims=True)
+
+
+def _probs(q_ref, k_ref):
+    q = q_ref[0, 0].astype(jnp.float32)  # [TQ, Da]
+    k = k_ref[0, 0].astype(jnp.float32)  # [Nk, Da]
+    scores = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [TQ, Nk]
+    return _softmax(scores)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, out_ref):
+    probs = _probs(q_ref, k_ref)
+    v = v_ref[0, 0].astype(jnp.float32)
+    out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
+    t = pl.program_id(2)  # q-tile axis, fastest: dk/dv blocks stay resident
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+
+    probs = _probs(q_ref, k_ref)  # [TQ, Nk]
+
+    dv = jax.lax.dot_general(  # P^T dO
+        probs, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(  # dO V^T
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(  # dS^T Q
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+    @pl.when(t == 0)
+    def _init():
+        dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+    @pl.when(t != 0)
+    def _acc():
+        dk_ref[0, 0] = (dk_ref[0, 0].astype(jnp.float32) + dk).astype(dk_ref.dtype)
+        dv_ref[0, 0] = (dv_ref[0, 0].astype(jnp.float32) + dv).astype(dv_ref.dtype)
+
+
+def _tile(nq: int) -> int:
+    for t in (512, 256, 128):
+        if nq % t == 0:
+            return t
+    return min(nq, 512)
+
+
+def _fwd_impl(q, k, v, interpret):
+    B, H, Nq, Da = q.shape
+    Nk, Dv = k.shape[2], v.shape[3]
+    TQ = _tile(Nq)
+    grid = (B, H, Nq // TQ)
+    q_spec = pl.BlockSpec((1, 1, TQ, Da), lambda b, h, t: (b, h, t, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = lambda d: pl.BlockSpec((1, 1, Nk, d), lambda b, h, t: (b, h, 0, 0),
+                                     memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[q_spec, kv_spec(Da), kv_spec(Dv)],
+        out_specs=pl.BlockSpec((1, 1, TQ, Dv), lambda b, h, t: (b, h, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, Nq, Dv), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _bwd_impl(q, k, v, do, interpret):
+    B, H, Nq, Da = q.shape
+    Nk, Dv = k.shape[2], v.shape[3]
+    TQ = _tile(Nq)
+    grid = (B, H, Nq // TQ)
+    q_spec = pl.BlockSpec((1, 1, TQ, Da), lambda b, h, t: (b, h, t, 0),
+                          memory_space=pltpu.VMEM)
+    do_spec = pl.BlockSpec((1, 1, TQ, Dv), lambda b, h, t: (b, h, t, 0),
+                           memory_space=pltpu.VMEM)
+    kv_spec = lambda d: pl.BlockSpec((1, 1, Nk, d), lambda b, h, t: (b, h, 0, 0),
+                                     memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[q_spec, kv_spec(Da), kv_spec(Dv), do_spec],
+        out_specs=[q_spec, kv_spec(Da), kv_spec(Dv)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Nq, Da), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Nk, Da), k.dtype),
+            jax.ShapeDtypeStruct((B, H, Nk, Dv), v.dtype),
+        ],
+        interpret=interpret,
+    )(q, k, v, do)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _attention(q, k, v, interpret):
+    return _fwd_impl(q, k, v, interpret)
+
+
+def _attention_fwd(q, k, v, interpret):
+    return _fwd_impl(q, k, v, interpret), (q, k, v)
+
+
+def _attention_bwd(interpret, res, do):
+    q, k, v = res
+    return _bwd_impl(q, k, v, do, interpret)
+
+
+_attention.defvjp(_attention_fwd, _attention_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_attention(
+    q: jnp.ndarray,  # [B, H, Nq, Da] — scale (and any bias lanes) pre-applied
+    k: jnp.ndarray,  # [B, H, Nk, Da]
+    v: jnp.ndarray,  # [B, H, Nk, Dv]
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """softmax(q k^T) v with scores kept in VMEM.  Nq is padded to the tile
+    size here (outside the custom_vjp, so padded rows carry zero cotangent
+    and contribute nothing to dk/dv)."""
+    B, H, Nq, _ = q.shape
+    TQ = _tile(Nq)
+    pad = -Nq % TQ
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    out = _attention(q, k, v, interpret)
+    return out[:, :, :Nq] if pad else out

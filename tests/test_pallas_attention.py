@@ -64,3 +64,83 @@ def test_fused_window_attention_grads_match_reference(rng):
         for a, b, name in zip(g_ref, g_pl, ("dq", "dk", "dv", "dbias")):
             np.testing.assert_allclose(np.array(b), np.array(a), atol=5e-4,
                                        rtol=1e-3, err_msg=name)
+
+
+# ---- pooled attention (MViT flagship path) ----
+
+from mspi_tpu.ops.pallas.pooled_attention import fused_attention
+
+
+def _ref_attention(q, k, v):
+    attn = jax.nn.softmax(jnp.einsum("bhnd,bhmd->bhnm", q, k), axis=-1)
+    return jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+
+
+def test_fused_pooled_attention_matches_reference(rng):
+    B, H, Nq, Nk, Da, Dv = 2, 2, 256, 40, 48, 32
+    q = jnp.asarray(rng.standard_normal((B, H, Nq, Da)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, Nk, Da)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, Nk, Dv)).astype(np.float32))
+    out = fused_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref_attention(q, k, v)),
+                               atol=2e-5)
+
+
+def test_fused_pooled_attention_ragged_nq(rng):
+    # Nq=72 forces the q-padding path (not a multiple of any tile size)
+    B, H, Nq, Nk, D = 1, 2, 72, 24, 16
+    q = jnp.asarray(rng.standard_normal((B, H, Nq, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, Nk, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, Nk, D)).astype(np.float32))
+    out = fused_attention(q, k, v, interpret=True)
+    assert out.shape == (B, H, Nq, D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref_attention(q, k, v)),
+                               atol=2e-5)
+
+
+def test_fused_pooled_attention_grads_match_reference(rng):
+    B, H, Nq, Nk, D = 1, 2, 128, 24, 16
+    q = jnp.asarray(rng.standard_normal((B, H, Nq, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, Nk, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, Nk, D)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((B, H, Nq, D)).astype(np.float32))
+
+    g_f = jax.grad(lambda q, k, v: jnp.sum(
+        fused_attention(q, k, v, interpret=True) * w), argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(lambda q, k, v: jnp.sum(
+        _ref_attention(q, k, v) * w), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_mvit_rel_pos_augmentation_parity(rng):
+    """softmax(q_aug k_aug^T) v == the jnp rel-pos bias path: the one-hot
+    lane augmentation reproduces cal_rel_pos_{spatial,temporal} exactly."""
+    from mspi_tpu.models.mvit import (augment_for_fused_attn,
+                                      cal_rel_pos_spatial,
+                                      cal_rel_pos_temporal)
+
+    B, H, D = 2, 2, 16
+    q_shape, k_shape = (4, 6, 8), (2, 3, 4)
+    Nq, Nk = np.prod(q_shape), np.prod(k_shape)
+    q = jnp.asarray(rng.standard_normal((B, H, Nq, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, Nk, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, Nk, D)).astype(np.float32))
+    rel_t = jnp.asarray(rng.standard_normal(
+        (2 * max(q_shape[0], k_shape[0]) - 1, D)).astype(np.float32))
+    dh = 2 * max(q_shape[1], k_shape[1]) - 1
+    dw = 2 * max(q_shape[2], k_shape[2]) - 1
+    rel_h = jnp.asarray(rng.standard_normal((dh, D)).astype(np.float32))
+    rel_w = jnp.asarray(rng.standard_normal((dw, D)).astype(np.float32))
+
+    scale = D ** -0.5
+    attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k)
+    attn = cal_rel_pos_spatial(attn, q, q_shape, k_shape, rel_h, rel_w)
+    attn = cal_rel_pos_temporal(attn, q, q_shape, k_shape, rel_t)
+    ref = jnp.einsum("bhnm,bhmd->bhnd", jax.nn.softmax(attn, -1), v)
+
+    q_aug, k_aug = augment_for_fused_attn(q, k, q_shape, k_shape, scale,
+                                          rel_pos_t=rel_t, rel_pos_h=rel_h,
+                                          rel_pos_w=rel_w)
+    out = fused_attention(q_aug, k_aug, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
