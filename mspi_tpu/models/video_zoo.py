@@ -169,6 +169,56 @@ class ResNetVideoClassifier(nn.Module):
         return self.head([feats[-1]], train=train, rng=rng)
 
 
+class UniFormerClassifier(nn.Module):
+    """UniFormer K400 classifier (reference backbones/uniformer.py:280-381:
+    stages -> BN3d norm -> global avg pool -> Linear head)."""
+
+    cfg: UniFormerConfig
+    num_classes: int = 400
+    dropout_rate: float = 0.5
+
+    def setup(self):
+        from mspi_tpu.models.uniformer import UniFormerFeatures
+        from mspi_tpu.ops.layers import batchnorm
+
+        self.backbone = UniFormerFeatures(cfg=self.cfg)
+        self.norm = batchnorm()
+        self.head = TransformerBasicHead(dim_in=self.cfg.embed_dim[-1],
+                                         num_classes=self.num_classes,
+                                         dropout_rate=self.dropout_rate)
+
+    def __call__(self, clips, train: bool = False, rng=None):
+        feats = self.backbone(clips, train=train)
+        x = self.norm(feats[-1], use_running_average=not train)
+        return self.head(x, train=train, rng=rng)  # head mean-pools T,H,W
+
+
+class VideoSwinClassifier(nn.Module):
+    """Video Swin K400 classifier (mmaction2 recipe the reference's
+    pretrained VideoSwin checkpoints come from: SwinTransformer3D trunk ->
+    final LayerNorm -> I3D-style avg pool + dropout + fc)."""
+
+    cfg: VideoSwinConfig
+    num_classes: int = 400
+    dropout_rate: float = 0.5
+
+    def setup(self):
+        from mspi_tpu.models.videoswin import VideoSwinFeatures
+        from mspi_tpu.ops.layers import layernorm
+
+        self.backbone = VideoSwinFeatures(cfg=self.cfg)
+        dim = int(self.cfg.embed_dim * 2 ** (len(self.cfg.depths) - 1))
+        self.norm = layernorm()
+        self.head = TransformerBasicHead(dim_in=dim,
+                                         num_classes=self.num_classes,
+                                         dropout_rate=self.dropout_rate)
+
+    def __call__(self, clips, train: bool = False, rng=None):
+        feats = self.backbone(clips, train=train)
+        x = self.norm(feats[-1])
+        return self.head(x, train=train, rng=rng)
+
+
 def build_classifier(name: str, num_classes: int = 400) -> nn.Module:
     if name == "slowfast4x16":
         return SlowFastClassifier(cfg=SlowFastConfig(), num_classes=num_classes)
@@ -176,6 +226,10 @@ def build_classifier(name: str, num_classes: int = 400) -> nn.Module:
         return X3DClassifier(cfg=X3DConfig(), num_classes=num_classes)
     if name == "mvitv2s":
         return MViTClassifier(cfg=MViTConfig(), num_classes=num_classes)
+    if name == "uniformerb":
+        return UniFormerClassifier(cfg=UniFormerConfig(), num_classes=num_classes)
+    if name == "videoswins":
+        return VideoSwinClassifier(cfg=VideoSwinConfig(), num_classes=num_classes)
     if name in ("c2d", "i3d", "slow"):
         return ResNetVideoClassifier(arch=name, num_classes=num_classes)
     if name.endswith("_nln") and name[:-4] in ("c2d", "i3d", "slow"):

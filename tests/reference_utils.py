@@ -177,6 +177,39 @@ def install_reference_stubs():
     pv_layers.distributed = pvd
     _stub_module("pytorchvideo").layers = pv_layers
 
+    _append_reference_path()
+
+
+def install_operator_stubs():
+    """Extra stubs for importing SlowFast/operators.py (HOGLayerC parity):
+    torchvision (unused at class level), pytorchvideo Swish, get_gkern."""
+    install_reference_stubs()
+    _stub_module("torchvision")
+    swish = _stub_module("pytorchvideo.layers.swish")
+    swish.Swish = torch.nn.SiLU
+    sys.modules["pytorchvideo.layers"].swish = swish
+
+    import math
+
+    def get_gkern(kernlen, std):
+        def _gaussian_fn(kernlen, std):
+            n = torch.arange(0, kernlen).float()
+            n -= n.mean()
+            n /= std
+            return torch.exp(-0.5 * n ** 2)
+
+        gkern1d = _gaussian_fn(kernlen, std)
+        return torch.outer(gkern1d, gkern1d)
+
+    sfu = _stub_module("slowfast.models.utils")
+    sfu.get_gkern = get_gkern
+    sfm = _stub_module("slowfast.models")
+    sfm.utils = sfu
+    _stub_module("slowfast").models = sfm
+    _append_reference_path()
+
+
+def _append_reference_path():
     # APPEND so repo-root modules (inference.py, train.py) keep precedence;
     # reference-only packages (backbones, model, SlowFast, config) still
     # resolve to /root/reference.

@@ -100,6 +100,44 @@ def test_masked_pretraining(rng):
                                         mask.astype(jnp.float32))) < 1e-9
 
 
+def test_hog_parity_vs_reference(rng):
+    """hog_per_frame matches the reference torch HOGLayerC exactly
+    (SlowFast/operators.py:66-122), including the atan2(gx,gy) convention,
+    reflect padding, cell sum pooling and per-cell L2 normalisation."""
+    import torch
+
+    from mspi_tpu.models.masked import hog_per_frame
+    from tests.reference_utils import install_operator_stubs
+
+    install_operator_stubs()
+    from SlowFast.operators import HOGLayerC
+
+    frames = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    ours = np.asarray(hog_per_frame(jnp.asarray(frames), nbins=9, cell=8))
+    with torch.no_grad():
+        ref = HOGLayerC(nbins=9, pool=8)(
+            torch.from_numpy(frames.transpose(0, 3, 1, 2)))
+    # ref: [B, 3, nbins, h, w] -> [B, h, w, 3, nbins]
+    ref = ref.permute(0, 3, 4, 1, 2).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_masked_hog_targets(rng):
+    from mspi_tpu.models.masked import hog_targets, masked_prediction_loss
+
+    clips = jnp.asarray(rng.standard_normal((2, 4, 32, 32, 3)).astype(np.float32))
+    t = hog_targets(clips, temporal_stride=2, spatial_stride=16, cell=8)
+    assert t.shape == (2, 2, 2, 2, 3 * 9 * 4)
+    # per-cell L2 norm == 1 for every (channel, cell) bin histogram
+    hist = np.asarray(t).reshape(2, 2, 2, 2, 27, 4)
+    norms = np.linalg.norm(hist.reshape(2, 2, 2, 2, 3, 9, 4), axis=5)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+    # plain-MSE path: exact prediction -> zero loss
+    mask = jnp.ones((2, 2, 2, 2), jnp.float32)
+    assert float(masked_prediction_loss(t, t, mask,
+                                        normalize_target=False)) < 1e-9
+
+
 def test_grad_cam_on_toy_model(rng):
     from mspi_tpu.utils.visualization import grad_cam
 
