@@ -32,9 +32,12 @@ def main():
     from mspi_tpu.data.video import normalize_clip_jax
     from mspi_tpu.models.fusion import AudioVisualSaliencyModel
 
-    backbone = os.environ.get("MSPI_BENCH_BACKBONE", "s3d")
+    # Default = the flagship: the reference's default motion encoder is
+    # mvitv2s (reference config.py:59); bf16 is the TPU-native inference
+    # dtype (numerics validated in tests/test_bf16_mode.py).
+    backbone = os.environ.get("MSPI_BENCH_BACKBONE", "mvitv2s")
     batch = int(os.environ.get("MSPI_BENCH_BATCH", "8"))
-    dtype = os.environ.get("MSPI_BENCH_DTYPE", "float32")
+    dtype = os.environ.get("MSPI_BENCH_DTYPE", "bfloat16")
     if dtype == "bfloat16":
         from mspi_tpu.ops.layers import set_default_compute_dtype
 
@@ -93,12 +96,35 @@ def main():
             base = json.load(f)["torch_cpu_clips_per_sec"]
         vs = clips_per_sec / base
 
+    # FLOPs / MFU: XLA's own cost analysis of the single-forward program,
+    # against the chip's MXU peak (TPU v5e: 197 TFLOP/s bf16).
+    flops_per_clip = mfu = None
+    try:
+        from mspi_tpu.utils.profiling import cost_analysis
+
+        def fwd(variables, clips_u8, audio):
+            out, _ = model.apply(variables, normalize_clip_jax(clips_u8), audio,
+                                 train=False)
+            return out
+
+        flops = cost_analysis(fwd, variables, clips_u8, audio).get("flops", 0.0)
+        if flops:
+            flops_per_clip = flops / batch
+            kind = jax.devices()[0].device_kind.lower()
+            peak = 197e12 if "v5" in kind else 275e12 if "v6" in kind else None
+            if peak:
+                mfu = clips_per_sec * flops_per_clip / peak
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": f"AVSP inference clips/sec/chip ({backbone}, 16x{h}x{w}, "
                   f"batch {batch}, {dtype})",
         "value": round(clips_per_sec, 3),
         "unit": "clips/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,
+        "gflops_per_clip": round(flops_per_clip / 1e9, 1) if flops_per_clip else None,
+        "mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
     }))
 
 
