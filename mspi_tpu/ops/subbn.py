@@ -57,3 +57,21 @@ class SubBatchNorm(nn.Module):
             unbiased = v * n / max(n - 1, 1)
             var.value = (1 - mom) * var.value + mom * unbiased
         return y
+
+
+def sync_batchnorm(momentum: float = 0.1, epsilon: float = 1e-5,
+                   axis_name: str = "data",
+                   name=None) -> nn.BatchNorm:
+    """Cross-device synchronized BatchNorm — the reference's NaiveSyncBatchNorm
+    (SlowFast/slowfast/models/batchnorm_helper.py NaiveSyncBatchNorm1d/3d:
+    all-gather of per-GPU sums).  TPU-native: flax BatchNorm's axis_name
+    lowers the stat reduction to a single psum over the mesh axis when the
+    module runs inside shard_map/pmap over that axis; outside a mapped
+    context use the plain factory (mspi_tpu.ops.layers.batchnorm).
+
+    Matches the torch-converter conventions of ops.layers.batchnorm
+    (momentum flip: torch momentum m == flax momentum 1-m)."""
+    return nn.BatchNorm(
+        use_running_average=None, momentum=1.0 - momentum, epsilon=epsilon,
+        axis_name=axis_name, name=name,
+        scale_init=nn.initializers.ones, bias_init=nn.initializers.zeros)

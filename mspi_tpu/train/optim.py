@@ -107,7 +107,12 @@ def construct_optimizer(
                           weight_decay_mask=mask if mask is not None else True,
                           momentum=momentum, nesterov=nesterov)
 
-    factories = {"sgd": sgd, "adam": adam, "adamw": adamw, "lars": lars}
+    # "mt_adamw" (optimizer.py:132, torch._multi_tensor.AdamW) is a fused
+    # CUDA performance variant with identical math; optax.adamw already
+    # updates the whole pytree in one fused XLA program, so both names map
+    # to the same transformation here.
+    factories = {"sgd": sgd, "adam": adam, "adamw": adamw, "lars": lars,
+                 "mt_adamw": adamw}
     if optimizing_method not in factories:
         raise NotImplementedError(f"optimizer {optimizing_method!r} not supported")
     return optax.inject_hyperparams(factories[optimizing_method])(learning_rate=base_lr)

@@ -77,3 +77,39 @@ def test_cost_analysis_smoke():
     assert costs["flops"] > 0
     assert "GFLOPs" in flop_count_table(f, a, a)
     assert param_count({"w": a}) == 64 * 64
+
+
+def test_sync_batchnorm_matches_global_bn(rng):
+    """sync_batchnorm under pmap over 8 devices == plain BN over the global
+    batch (the NaiveSyncBN contract: per-device shards, global statistics)."""
+    from mspi_tpu.ops.layers import batchnorm
+    from mspi_tpu.ops.subbn import sync_batchnorm
+
+    n_dev = jax.device_count()
+    assert n_dev == 8, "conftest should provide 8 CPU devices"
+    x = rng.standard_normal((n_dev, 2, 4, 5, 3)).astype(np.float32)
+
+    sync = sync_batchnorm()
+    variables = sync.init(jax.random.PRNGKey(0), jnp.asarray(x[0]),
+                          use_running_average=True)
+
+    def fwd(xs):
+        y, upd = sync.apply(variables, xs, use_running_average=False,
+                            mutable=["batch_stats"])
+        return y, upd["batch_stats"]
+
+    y_sync, stats = jax.pmap(fwd, axis_name="data")(jnp.asarray(x))
+
+    plain = batchnorm()
+    flat = jnp.asarray(x.reshape(-1, 4, 5, 3))
+    v2 = plain.init(jax.random.PRNGKey(0), flat, use_running_average=True)
+    y_ref, upd_ref = plain.apply(v2, flat, use_running_average=False,
+                                 mutable=["batch_stats"])
+
+    np.testing.assert_allclose(np.asarray(y_sync).reshape(-1, 4, 5, 3),
+                               np.asarray(y_ref), atol=1e-5)
+    # running stats identical on every device and equal to the global ones
+    for key in ("mean", "var"):
+        s = np.asarray(stats[key])
+        np.testing.assert_allclose(s, np.broadcast_to(
+            np.asarray(upd_ref["batch_stats"][key]), s.shape), atol=1e-5)
