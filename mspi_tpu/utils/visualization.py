@@ -125,3 +125,90 @@ class ScalarWriter:
 
     def close(self):
         pass
+
+
+class VideoVisualizer:
+    """Prediction / AVA-box overlay renderer (reference
+    SlowFast/slowfast/visualization/video_visualizer.py:349-641).
+
+    PIL-based (no matplotlib dependency): per-class colors come from an HSV
+    wheel, predictions are picked by "top-k" or "thres" mode, and boxes are
+    drawn with their class labels on uint8 RGB frames.
+    """
+
+    def __init__(self, num_classes: int, class_names=None, top_k: int = 1,
+                 thres: float = 0.7, mode: str = "top-k"):
+        assert mode in ("top-k", "thres"), mode
+        self.num_classes = num_classes
+        if isinstance(class_names, str):  # json {classname: id}
+            import json
+
+            with open(class_names) as f:
+                mapping = json.load(f)
+            class_names = [None] * num_classes
+            for name, i in mapping.items():
+                if 0 <= int(i) < num_classes:
+                    class_names[int(i)] = name
+        self.class_names = class_names or [str(i) for i in range(num_classes)]
+        self.top_k = top_k
+        self.thres = thres
+        self.mode = mode
+
+    def _color(self, class_id: int):
+        import colorsys
+
+        r, g, b = colorsys.hsv_to_rgb(class_id / max(self.num_classes, 1), 0.9, 1.0)
+        return int(r * 255), int(g * 255), int(b * 255)
+
+    def _pick(self, scores: np.ndarray):
+        scores = np.asarray(scores)
+        if self.mode == "top-k":
+            ids = np.argsort(-scores)[: self.top_k]
+        else:
+            ids = np.nonzero(scores >= self.thres)[0]
+        return [(int(i), float(scores[i])) for i in ids]
+
+    def draw_one_frame(self, frame: np.ndarray, preds: np.ndarray,
+                       bboxes=None) -> np.ndarray:
+        """frame: [H,W,3] uint8; preds: [num_boxes, C] (or [C] clip-level);
+        bboxes: [num_boxes, 4] (x1,y1,x2,y2) or None."""
+        from PIL import Image, ImageDraw
+
+        img = Image.fromarray(np.asarray(frame).astype(np.uint8))
+        draw = ImageDraw.Draw(img)
+        preds = np.atleast_2d(np.asarray(preds))
+        if bboxes is None:
+            y = 2
+            for cid, score in self._pick(preds[0]):
+                draw.text((2, y), f"{self.class_names[cid]}: {score:.2f}",
+                          fill=self._color(cid))
+                y += 11
+        else:
+            for box, sc in zip(np.asarray(bboxes), preds):
+                picks = self._pick(sc)
+                color = self._color(picks[0][0]) if picks else (255, 255, 255)
+                draw.rectangle([float(box[0]), float(box[1]),
+                                float(box[2]), float(box[3])],
+                               outline=color, width=2)
+                y = float(box[1]) + 2
+                for cid, score in picks:
+                    draw.text((float(box[0]) + 2, y),
+                              f"{self.class_names[cid]}: {score:.2f}",
+                              fill=self._color(cid))
+                    y += 11
+        return np.asarray(img)
+
+    def draw_clip(self, frames: np.ndarray, preds: np.ndarray, bboxes=None,
+                  keyframe_idx=None) -> np.ndarray:
+        """frames: [T,H,W,3] uint8 -> same, annotated.  Boxes are drawn on
+        every frame (the reference repeats the keyframe detections across
+        the clip); text only on the keyframe if given."""
+        out = []
+        for t, frame in enumerate(np.asarray(frames)):
+            if bboxes is not None:
+                out.append(self.draw_one_frame(frame, preds, bboxes))
+            elif keyframe_idx is None or t == keyframe_idx:
+                out.append(self.draw_one_frame(frame, preds))
+            else:
+                out.append(np.asarray(frame).astype(np.uint8))
+        return np.stack(out)

@@ -166,3 +166,22 @@ def test_scalar_writer(tmp_path):
     cm = w.plot_confusion_matrix(np.array([0, 1]), np.array([0, 0]), 2, 0)
     assert cm[0, 0] == 1 and cm[0, 1] == 1
     assert (tmp_path / "scalars.jsonl").exists()
+
+
+def test_video_visualizer_boxes(rng):
+    from mspi_tpu.utils.visualization import VideoVisualizer
+
+    vis = VideoVisualizer(num_classes=5, class_names=list("abcde"), top_k=2)
+    frames = (rng.random((3, 48, 64, 3)) * 60).astype(np.uint8)
+    boxes = np.array([[4, 4, 30, 40], [32, 8, 60, 44]], np.float32)
+    preds = np.array([[0.1, 0.9, 0, 0, 0], [0, 0, 0.2, 0.8, 0]], np.float32)
+    out = vis.draw_clip(frames, preds, bboxes=boxes)
+    assert out.shape == frames.shape and out.dtype == np.uint8
+    assert (out != frames).any(), "boxes should modify pixels"
+    # box edge pixels carry the class color (bright vs the dim background)
+    assert out[0, 4, 4:30].max() > 120
+
+    # clip-level text mode on the keyframe only
+    out2 = vis.draw_clip(frames, preds[0], keyframe_idx=1)
+    assert (out2[1] != frames[1]).any()
+    assert (out2[0] == frames[0]).all()
