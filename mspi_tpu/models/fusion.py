@@ -104,9 +104,11 @@ class Attention(nn.Module):
         if pallas_enabled() and N <= 2048:
             from mspi_tpu.ops.pallas.pooled_attention import fused_attention
 
+            from mspi_tpu.ops.pallas import pallas_interpret
             out = fused_attention(q.transpose(0, 2, 1, 3) * (head ** -0.5),
                                   k.transpose(0, 2, 1, 3),
-                                  v.transpose(0, 2, 1, 3))
+                                  v.transpose(0, 2, 1, 3),
+                                  interpret=pallas_interpret())
             out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
             return self.proj(out)
 

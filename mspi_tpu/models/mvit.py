@@ -274,7 +274,9 @@ class MultiScaleAttention(nn.Module):
                 rel_pos_t=self.rel_pos_t if self.rel_pos_temporal else None,
                 rel_pos_h=self.rel_pos_h if self.rel_pos_spatial else None,
                 rel_pos_w=self.rel_pos_w if self.rel_pos_spatial else None)
-            out = fused_attention(q_aug, k_aug, v)
+            from mspi_tpu.ops.pallas import pallas_interpret
+            out = fused_attention(q_aug, k_aug, v,
+                                  interpret=pallas_interpret())
         else:
             attn = jnp.einsum("bhnd,bhmd->bhnm", q * (head ** -0.5), k)
             if self.rel_pos_spatial:

@@ -144,3 +144,24 @@ def test_mvit_rel_pos_augmentation_parity(rng):
                                           rel_pos_w=rel_w)
     out = fused_attention(q_aug, k_aug, v, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_mvit_module_fused_path_matches_jnp(rng, monkeypatch):
+    """Full MultiScaleAttention module through the Pallas path
+    (MSPI_PALLAS_INTERPRET=1) == the jnp rel-pos path: integration of
+    gating + augmentation + kernel inside the real module."""
+    from mspi_tpu.models.mvit import MultiScaleAttention
+
+    attn = MultiScaleAttention(
+        dim=32, dim_out=32, input_size=(4, 8, 8), num_heads=2, qkv_bias=True,
+        kernel_q=(3, 3, 3), kernel_kv=(3, 3, 3), stride_q=(1, 1, 1),
+        stride_kv=(1, 2, 2))
+    x = jnp.asarray(rng.standard_normal((2, 4 * 8 * 8, 32)).astype(np.float32))
+    variables = attn.init(jax.random.PRNGKey(0), x, (4, 8, 8))
+
+    out_ref, thw_ref = attn.apply(variables, x, (4, 8, 8))
+    monkeypatch.setenv("MSPI_PALLAS_INTERPRET", "1")
+    out_pl, thw_pl = attn.apply(variables, x, (4, 8, 8))
+    assert thw_ref == thw_pl
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ref),
+                               atol=3e-5)
