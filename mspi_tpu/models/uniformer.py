@@ -58,10 +58,19 @@ class Attention(nn.Module):
     dim: int
     num_heads: int
     qkv_bias: bool = True
+    # SplitSABlock's t_attn init quirk (uniformer.py:384-394): qkv filled
+    # with 0 and proj weight with 1 "to improve training dynamics".
+    temporal_init: bool = False
 
     def setup(self):
-        self.qkv = dense(self.dim, self.dim * 3, bias=self.qkv_bias)
-        self.proj = dense(self.dim, self.dim)
+        if self.temporal_init:
+            z, o = jax.nn.initializers.zeros, jax.nn.initializers.ones
+            self.qkv = dense(self.dim, self.dim * 3, bias=self.qkv_bias,
+                             kernel_init=z, bias_init=z)
+            self.proj = dense(self.dim, self.dim, kernel_init=o, bias_init=z)
+        else:
+            self.qkv = dense(self.dim, self.dim * 3, bias=self.qkv_bias)
+            self.proj = dense(self.dim, self.dim)
 
     def __call__(self, x):
         B, N, C = x.shape
@@ -145,6 +154,43 @@ class SABlock(nn.Module):
         t = t + self.dp(self.attn(self.norm1(t)), deterministic=det)
         t = t + self.dp(self.mlp(self.norm2(t)), deterministic=det)
         return t.reshape(B, T, H, W, C)
+
+
+class SplitSABlock(nn.Module):
+    """Divided space-time attention block (uniformer.py:166-201, SPLIT=True):
+    temporal attention over T per spatial location feeds — through norm1
+    only, the residual stream restarts from x, exactly as the torch forward
+    does — a spatial attention per frame, then the joint MLP."""
+
+    dim: int
+    num_heads: int
+    drop_path: float = 0.0
+
+    def setup(self):
+        d = self.dim
+        self.pos_embed = conv3d(d, d, 3, 1, 1, groups=d)
+        self.t_norm = layernorm(epsilon=1e-6)
+        self.t_attn = Attention(d, self.num_heads, temporal_init=True)
+        self.norm1 = layernorm(epsilon=1e-6)
+        self.attn = Attention(d, self.num_heads)
+        self.norm2 = layernorm(epsilon=1e-6)
+        self.mlp = Mlp(d, int(d * 4))
+        self.dp = DropPath(self.drop_path)
+
+    def __call__(self, x, train: bool = False):
+        det = not train
+        x = x + self.pos_embed(x)
+        B, T, H, W, C = x.shape
+        # temporal attention: tokens [B*H*W, T, C]
+        t = x.transpose(0, 2, 3, 1, 4).reshape(B * H * W, T, C)
+        t = t + self.dp(self.t_attn(self.t_norm(t)), deterministic=det)
+        # spatial attention: [B*T, H*W, C]; residual restarts from x
+        s = t.reshape(B, H * W, T, C).transpose(0, 2, 1, 3).reshape(B * T, H * W, C)
+        residual = x.reshape(B, T, H * W, C).reshape(B * T, H * W, C)
+        s = residual + self.dp(self.attn(self.norm1(s)), deterministic=det)
+        out = s.reshape(B, T * H * W, C)
+        out = out + self.dp(self.mlp(self.norm2(out)), deterministic=det)
+        return out.reshape(B, T, H, W, C)
 
 
 class SABlockScan(nn.Module):
@@ -263,14 +309,15 @@ class UniFormerFeatures(nn.Module):
         off += depths[0]
         self.blocks2 = Sequential([CBlock(dims[1], dpr[off + i]) for i in range(depths[1])])
         off += depths[1]
-        if self.scan_stage3:
+        sa = SplitSABlock if self.cfg.split else SABlock
+        if self.scan_stage3 and not self.cfg.split:
             self.blocks3 = ScannedSABlocks(dims[2], heads[2], depths[2],
                                            tuple(dpr[off + i] for i in range(depths[2])))
         else:
-            self.blocks3 = Sequential([SABlock(dims[2], heads[2], dpr[off + i])
+            self.blocks3 = Sequential([sa(dims[2], heads[2], dpr[off + i])
                                        for i in range(depths[2])])
         off += depths[2]
-        self.blocks4 = Sequential([SABlock(dims[3], heads[3], dpr[off + i])
+        self.blocks4 = Sequential([sa(dims[3], heads[3], dpr[off + i])
                                    for i in range(depths[3])])
 
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Sequence[jnp.ndarray]:
