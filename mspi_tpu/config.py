@@ -210,6 +210,9 @@ class ModelConfig:
     image_saliency_encoder_weight: str = ""
     # Compute dtype for the backbone hot path ("float32" or "bfloat16").
     compute_dtype: str = "float32"
+    # Rematerialise transformer blocks in backward (activation memory for
+    # ~1 extra forward per block; lets VideoSwin/MViT train at batch 4).
+    remat: bool = False
     s3d: S3DConfig = field(default_factory=S3DConfig)
     mvit: MViTConfig = field(default_factory=MViTConfig)
     slowfast: SlowFastConfig = field(default_factory=SlowFastConfig)

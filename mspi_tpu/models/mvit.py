@@ -365,6 +365,8 @@ class MViTFeatures(nn.Module):
     """
 
     cfg: MViTConfig
+    # per-block jax.checkpoint: keep only block inputs for backward
+    remat: bool = False
 
     def setup(self):
         c = self.cfg
@@ -398,7 +400,9 @@ class MViTFeatures(nn.Module):
             num_heads = round_width(num_heads, head_mul[i])
             dim_out = round_width(embed_dim, dim_mul[i],
                                   divisor=round_width(num_heads, head_mul[i]))
-            blocks.append(MultiScaleBlock(
+            block_cls = (nn.remat(MultiScaleBlock, static_argnums=(2, 3))
+                         if self.remat else MultiScaleBlock)
+            blocks.append(block_cls(
                 dim=embed_dim, dim_out=dim_out, num_heads=num_heads,
                 input_size=tuple(input_size), mlp_ratio=c.mlp_ratio,
                 qkv_bias=c.qkv_bias, drop_path=dpr[i],

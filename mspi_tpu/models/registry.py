@@ -43,9 +43,10 @@ def build_backbone(cfg: MSPIConfig) -> nn.Module:
     if name == "videoswins":
         from mspi_tpu.models.videoswin import VideoSwinFeatures
 
-        return VideoSwinFeatures(cfg=cfg.model.videoswin)
+        return VideoSwinFeatures(cfg=cfg.model.videoswin,
+                                 remat=cfg.model.remat)
     if name == "mvitv2s":
         from mspi_tpu.models.mvit import MViTFeatures
 
-        return MViTFeatures(cfg=cfg.model.mvit)
+        return MViTFeatures(cfg=cfg.model.mvit, remat=cfg.model.remat)
     raise ValueError(f"unknown motion encoder: {name!r}")

@@ -268,11 +268,14 @@ class BasicLayer(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     has_downsample: bool = True
+    remat: bool = False
 
     def setup(self):
         shift = tuple(w // 2 for w in self.window_size)
+        block_cls = (nn.remat(SwinTransformerBlock3D) if self.remat
+                     else SwinTransformerBlock3D)
         self.blocks = ModuleList([
-            SwinTransformerBlock3D(
+            block_cls(
                 self.dim, self.num_heads, self.window_size,
                 (0, 0, 0) if i % 2 == 0 else shift, self.mlp_ratio, self.qkv_bias)
             for i in range(self.depth)
@@ -299,6 +302,11 @@ class VideoSwinFeatures(nn.Module):
     """[B,16,H,W,3] -> pre-downsample pyramid (96,192,384,768), T=8."""
 
     cfg: VideoSwinConfig
+    # per-block rematerialisation: store only block inputs for backward,
+    # recompute internals (jax.checkpoint) — trades ~1 extra block forward
+    # for the dominant activation memory (needed to train at batch 4 on a
+    # 16 GB chip).
+    remat: bool = False
 
     def setup(self):
         c = self.cfg
@@ -313,6 +321,7 @@ class VideoSwinFeatures(nn.Module):
                 mlp_ratio=c.mlp_ratio,
                 qkv_bias=c.qkv_bias,
                 has_downsample=(i < len(c.depths) - 1),
+                remat=self.remat,
             )
             for i in range(len(c.depths))
         ])

@@ -78,3 +78,56 @@ def test_reversible_encoder_forward():
     # depth-4 toy: one transition doubling 96 -> 192; concat fusion -> 384
     assert out.shape == (1, 384)
     assert np.all(np.isfinite(np.array(out)))
+
+
+def test_remat_blocks_match_plain(rng):
+    """remat=True (per-block jax.checkpoint) is numerically identical in
+    forward and gradients; only activation memory differs."""
+    import jax
+    import jax.numpy as jnp
+
+    from mspi_tpu.config import VideoSwinConfig
+    from mspi_tpu.models.videoswin import VideoSwinFeatures
+
+    cfg = VideoSwinConfig(embed_dim=8, depths=(1, 1, 1, 1),
+                          num_heads=(1, 2, 4, 8), window_size=(2, 4, 4))
+    x = jnp.asarray(rng.standard_normal((1, 8, 32, 32, 3)).astype(np.float32))
+    plain = VideoSwinFeatures(cfg=cfg)
+    remat = VideoSwinFeatures(cfg=cfg, remat=True)
+    variables = plain.init(jax.random.PRNGKey(0), x)
+
+    def loss(m, v):
+        return sum(jnp.sum(f ** 2) for f in m.apply(v, x))
+
+    l1, g1 = jax.value_and_grad(lambda v: loss(plain, v))(variables)
+    l2, g2 = jax.value_and_grad(lambda v: loss(remat, v))(variables)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_remat_mvit_block_static_args(rng):
+    """nn.remat(MultiScaleBlock, static_argnums=(2,3)) traces with the
+    static (thw, train) args (the MViTFeatures remat path)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from mspi_tpu.models.mvit import MultiScaleBlock
+
+    cls = nn.remat(MultiScaleBlock, static_argnums=(2, 3))
+    blk = cls(dim=16, dim_out=16, num_heads=2, input_size=(2, 4, 4),
+              mlp_ratio=4.0, qkv_bias=True, drop_path=0.0,
+              kernel_q=(1, 1, 1), kernel_kv=(1, 1, 1),
+              stride_q=(1, 1, 1), stride_kv=(1, 1, 1))
+    x = jnp.asarray(rng.standard_normal((1, 32, 16)).astype(np.float32))
+    variables = blk.init(jax.random.PRNGKey(0), x, (2, 4, 4), False)
+    y, thw = blk.apply(variables, x, (2, 4, 4), False)
+    assert y.shape == (1, 32, 16) and thw == (2, 4, 4)
+
+    ref = MultiScaleBlock(dim=16, dim_out=16, num_heads=2, input_size=(2, 4, 4),
+                          mlp_ratio=4.0, qkv_bias=True, drop_path=0.0,
+                          kernel_q=(1, 1, 1), kernel_kv=(1, 1, 1),
+                          stride_q=(1, 1, 1), stride_kv=(1, 1, 1))
+    y2, _ = ref.apply(variables, x, (2, 4, 4), False)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-6)

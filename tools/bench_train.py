@@ -25,6 +25,8 @@ def main():
     p.add_argument("--batch", default=8, type=int)
     p.add_argument("--iters", default=10, type=int)
     p.add_argument("--resolution", default=[224, 384], nargs=2, type=int)
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialise transformer blocks (activation memory)")
     args = p.parse_args()
 
     import jax
@@ -40,7 +42,10 @@ def main():
                                        make_train_step)
 
     h, w = args.resolution
-    cfg = get_config(args.backbone, overrides={"data": {"resolution": (h, w)}})
+    cfg = get_config(args.backbone, overrides={
+        "data": {"resolution": (h, w)},
+        "model": {"remat": bool(args.remat)},
+    })
     model = AudioVisualSaliencyModel(cfg=cfg)
     rng = np.random.default_rng(0)
     batch = {
