@@ -32,7 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _scores(q, k, bias_ref, mask_ref, *, scale):
     scores = jax.lax.dot_general(
-        q * scale, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        (q * q.dtype.type(scale)), k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # [N, N]
     scores = scores + bias_ref[0].astype(jnp.float32)
     if mask_ref is not None:
@@ -47,11 +48,12 @@ def _softmax(scores):
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *, scale):
-    q = q_ref[0, 0].astype(jnp.float32)  # [N, D]
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
+    # operands stay in storage dtype (native-rate MXU on bf16); fp32 accum
+    q = q_ref[0, 0]  # [N, D]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
     probs = _softmax(_scores(q, k, bias_ref, mask_ref, scale=scale))
-    out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+    out = jnp.dot(probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
     out_ref[0, 0] = out.astype(out_ref.dtype)
 
 
@@ -64,26 +66,28 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
     pattern (like the k-last matmul reduction).
     """
     b = pl.program_id(1)
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
 
     probs = _softmax(_scores(q, k, bias_ref, mask_ref, scale=scale))  # [N, N]
+    p = probs.astype(v.dtype)
 
     # dv = P^T dO
     dv = jax.lax.dot_general(
-        probs, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     # dP = dO V^T ; dS = P * (dP - rowsum(dP * P))
     dp = jax.lax.dot_general(
         do, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+    ds_c = ds.astype(q.dtype)
     # dq = scale * dS K ; dk = scale * dS^T Q
-    dq = scale * jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    dq = scale * jnp.dot(ds_c, k, preferred_element_type=jnp.float32)
     dk = scale * jax.lax.dot_general(
-        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        ds_c, q, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)

@@ -41,40 +41,45 @@ def _softmax(scores):
 
 
 def _probs(q_ref, k_ref):
-    q = q_ref[0, 0].astype(jnp.float32)  # [TQ, Da]
-    k = k_ref[0, 0].astype(jnp.float32)  # [Nk, Da]
+    # operands stay in their storage dtype (bf16 on the bf16 path — native
+    # MXU rate, 2x fp32); accumulation is fp32 via preferred_element_type
+    q = q_ref[0, 0]  # [TQ, Da]
+    k = k_ref[0, 0]  # [Nk, Da]
     scores = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [TQ, Nk]
+        preferred_element_type=jnp.float32)  # [TQ, Nk] fp32
     return _softmax(scores)
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, out_ref):
     probs = _probs(q_ref, k_ref)
-    v = v_ref[0, 0].astype(jnp.float32)
-    out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+    v = v_ref[0, 0]
+    out = jnp.dot(probs.astype(v.dtype), v,
+                  preferred_element_type=jnp.float32)
     out_ref[0, 0] = out.astype(out_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
     t = pl.program_id(2)  # q-tile axis, fastest: dk/dv blocks stay resident
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
 
-    probs = _probs(q_ref, k_ref)  # [TQ, Nk]
+    probs = _probs(q_ref, k_ref)  # [TQ, Nk] fp32
+    p = probs.astype(v.dtype)
 
     dv = jax.lax.dot_general(  # P^T dO
-        probs, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(  # dO V^T
         do, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
-    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    ds_c = ds.astype(q.dtype)
+    dq = jnp.dot(ds_c, k, preferred_element_type=jnp.float32)
     dk = jax.lax.dot_general(  # dS^T Q
-        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        ds_c, q, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
