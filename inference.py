@@ -34,6 +34,8 @@ def parse_args():
     parser.add_argument("--use_sound", default=True, type=bool)
     parser.add_argument("--motion_encoder", default="mvitv2s", type=str)
     parser.add_argument("--window_batch", default=8, type=int)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute for the backbone hot path")
     parser.add_argument("--audio_len_snippet", default=32, type=int,
                         help="audio window length in frames; the reference's "
                              "get_audio_feature defaults to 32 even for 16-frame "
@@ -80,6 +82,12 @@ def main():
     from mspi_tpu.models.fusion import AudioVisualSaliencyModel, VisualSaliencyModel
     from mspi_tpu.train import checkpoints as ckpt_lib
 
+    if args.bf16:
+        import jax.numpy as jnp
+
+        from mspi_tpu.ops.layers import set_default_compute_dtype
+
+        set_default_compute_dtype(jnp.bfloat16)
     cfg = get_config(args.motion_encoder)
     model_cls = AudioVisualSaliencyModel if args.use_sound else VisualSaliencyModel
     model = model_cls(cfg=cfg)

@@ -48,6 +48,10 @@ def parse_args():
     parser.add_argument("--resolution", default=None, nargs=2, type=int,
                         help="override (H W), e.g. for smoke runs")
     parser.add_argument("--monitored_epochs", default=None, nargs="+", type=int)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute (params/optimizer stay fp32)")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialise transformer blocks (activation memory)")
     return parser.parse_args()
 
 
@@ -70,7 +74,14 @@ def main():
                                        step_lr_schedule)
     from mspi_tpu.utils.logging import MetricLogger, append_jsonl
 
+    if args.bf16:
+        import jax.numpy as jnp
+
+        from mspi_tpu.ops.layers import set_default_compute_dtype
+
+        set_default_compute_dtype(jnp.bfloat16)
     cfg = get_config(args.motion_encoder, overrides={
+        "model": {"remat": bool(args.remat)},
         "data": {"root": args.data_root,
                  **({"resolution": tuple(args.resolution)} if args.resolution else {})},
         "train": {"gamma": args.gamma,
