@@ -83,8 +83,6 @@ def main():
     from mspi_tpu.train import checkpoints as ckpt_lib
 
     if args.bf16:
-        import jax.numpy as jnp
-
         from mspi_tpu.ops.layers import set_default_compute_dtype
 
         set_default_compute_dtype(jnp.bfloat16)

@@ -75,8 +75,6 @@ def main():
     from mspi_tpu.utils.logging import MetricLogger, append_jsonl
 
     if args.bf16:
-        import jax.numpy as jnp
-
         from mspi_tpu.ops.layers import set_default_compute_dtype
 
         set_default_compute_dtype(jnp.bfloat16)
