@@ -72,3 +72,30 @@ class DataLoader:
                 if submitted < n:
                     submit_next()
                 yield self._collate([f.result() for f in futs])
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Double-buffered host->HBM prefetch: `device_put` the next `size`
+    batches while the device computes — the pin_memory + non-blocking
+    copy of the reference's loader (SlowFast/slowfast/datasets/loader.py:
+    87-178) expressed as JAX async transfers.  `sharding` (e.g.
+    mspi_tpu.parallel.batch_sharding) places each leaf; None = default
+    device."""
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def put(batch):
+        if sharding is None:
+            return jax.tree.map(jax.device_put, batch)
+        return {k: jax.device_put(v, sharding(v.ndim) if callable(sharding)
+                                  else sharding) for k, v in batch.items()}
+
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) > size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

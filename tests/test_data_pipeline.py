@@ -125,3 +125,14 @@ def test_train_step_on_loaded_batch(avsp_root):
     state, metrics = step(state, {"clips": clips, "audio": audio,
                                   "gt": jnp.asarray(batch["gt"])}, 1e-4)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_prefetch_to_device():
+    from mspi_tpu.data.loader import prefetch_to_device
+
+    batches = [{"x": np.full((2, 3), i, np.float32)} for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert hasattr(b["x"], "devices")  # committed to a device
+        np.testing.assert_allclose(np.asarray(b["x"]), i)

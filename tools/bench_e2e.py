@@ -113,11 +113,14 @@ def main():
     state, m = train_step(state, put(first), cfg.solver.lr)
     jax.block_until_ready(m)
 
-    # --- end-to-end: decode on host threads, async-dispatch steps ---
+    # --- end-to-end: decode on host threads, double-buffered device
+    # prefetch, async-dispatch steps ---
+    from mspi_tpu.data.loader import prefetch_to_device
+
     t0 = time.perf_counter()
     n = 0
-    for b in batches(args.steps):
-        state, m = train_step(state, put(b), cfg.solver.lr)
+    for b in prefetch_to_device(map(put, batches(args.steps)), size=2):
+        state, m = train_step(state, b, cfg.solver.lr)
         n += 1
     jax.block_until_ready(m)
     dt_e2e = time.perf_counter() - t0
