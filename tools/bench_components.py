@@ -27,12 +27,15 @@ def timed_loop(fn, args, iters):
     import jax.numpy as jnp
 
     @jax.jit
-    def run_n(n, *args):
+    def run_n(n, x, *rest):
+        # feedback into the input defeats loop-invariant hoisting (bench.py)
         def body(_, carry):
-            acc = fn(*args)
-            return carry + jnp.sum(acc) * 1e-30
+            xc, acc = carry
+            s = jnp.sum(fn(xc, *rest)).astype(jnp.float32)
+            return (xc + (s * 1e-30).astype(xc.dtype), acc + s)
 
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+        _, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))
+        return acc
 
     float(run_n(1, *args))
     t0 = time.perf_counter()
@@ -101,7 +104,7 @@ def main():
     v_p = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
                        jax.eval_shape(lambda: prior.init(jax.random.PRNGKey(0), frames)))
     results["image_prior"] = timed_loop(
-        lambda f: prior.apply(v_p, f, train=False)[-1], (frames,), args.iters)
+        lambda f: prior.apply(v_p, f)[-1], (frames,), args.iters)
 
     # audio encoder
     aud = AudioResNet18()
