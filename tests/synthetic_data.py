@@ -29,17 +29,26 @@ def build_avsp_tree(root, datasets=(("AVAD", "v1"), ("DIEM", "d1")),
             fix[size[0] // 3, size[1] // 3] = 1
             scipy.io.savemat(os.path.join(fix_dir, f"fixMap_{i:05d}.mat"),
                              {"eyeMap": fix})
-        wav = (rng.standard_normal(16000) * 3000).astype(np.int16)
+        # audio long enough to cover every video window (duration = frames/fps)
+        n_samples = max(16000, int(8000 * (n_frames / fps + 1.0)))
+        wav = (rng.standard_normal(n_samples) * 3000).astype(np.int16)
         with wave.open(os.path.join(audio_dir, f"{video}.wav"), "wb") as w:
             w.setnchannels(1)
             w.setsampwidth(2)
             w.setframerate(8000)
             w.writeframes(wav.tobytes())
-        fold = os.path.join(root, "fold_lists")
-        os.makedirs(fold, exist_ok=True)
+    # fold lists grouped per dataset (multiple videos of one dataset get
+    # one line each, not an overwrite)
+    fold = os.path.join(root, "fold_lists")
+    os.makedirs(fold, exist_ok=True)
+    by_ds = {}
+    for ds, video in datasets:
+        by_ds.setdefault(ds, []).append(video)
+    for ds, videos in by_ds.items():
         for mode in ("train", "test"):
             name = (f"DIEM_list_{mode}_fps.txt" if ds == "DIEM"
                     else f"{ds}_list_{mode}_1_fps.txt")
             with open(os.path.join(fold, name), "w") as f:
-                f.write(f"{video} {n_frames} {fps}\n")
+                for video in videos:
+                    f.write(f"{video} {n_frames} {fps}\n")
     return root

@@ -37,8 +37,8 @@ def synth_tree(root: str, n_frames: int, size) -> str:
         os.path.abspath(__file__))), "tests"))
     from synthetic_data import build_avsp_tree
 
-    build_avsp_tree(root, datasets=(("AVAD", "v1"),), n_frames=n_frames,
-                    size=size)
+    build_avsp_tree(root, datasets=tuple(("AVAD", f"v{i}") for i in range(6)),
+                    n_frames=n_frames, size=size)
     open(marker, "w").close()
     return root
 
@@ -125,15 +125,31 @@ def main():
     jax.block_until_ready(m)
     dt_e2e = time.perf_counter() - t0
 
-    # --- compute-only: same batch resident in HBM every step ---
-    dev_batch = put(first)
-    dev_batch = jax.device_put(dev_batch)
+    # --- compute-only: same batch resident in HBM, steps chained inside
+    # ONE program (the only timing robust to the tunnel's async readiness
+    # ACKs — see ROUND1_NOTES.md; a dispatch loop over-reports) ---
+    body_fn = make_train_step(model, tx, gamma=cfg.train.gamma, donate=False,
+                              jit=False)
+    dev_batch = jax.device_put(put(first))
+
+    @jax.jit
+    def run_n(state, batch, n):
+        def body(_, st):
+            new_st, _metrics = body_fn(st, batch, cfg.solver.lr)
+            return new_st
+
+        return jax.lax.fori_loop(0, n, body, state)
+
+    s1 = run_n(state, dev_batch, 1)
+    float(jnp.sum(jax.tree.leaves(s1.params)[0]))  # compile + force D2H
     t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, m = train_step(state, {k: v for k, v in dev_batch.items()},
-                              cfg.solver.lr)
-    jax.block_until_ready(m)
-    dt_compute = time.perf_counter() - t0
+    s2 = run_n(state, dev_batch, args.steps + 1)
+    float(jnp.sum(jax.tree.leaves(s2.params)[0]))
+    dt_n = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    s3 = run_n(state, dev_batch, 1)
+    float(jnp.sum(jax.tree.leaves(s3.params)[0]))
+    dt_compute = dt_n - (time.perf_counter() - t0)
 
     out = {
         "backbone": args.backbone,
