@@ -96,10 +96,14 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
 
 
 def _tile(nq: int) -> int:
-    for t in (512, 256, 128):
+    import os
+
+    # MSPI_ATTN_TILE overrides the preferred q-tile (perf tuning knob)
+    pref = int(os.environ.get("MSPI_ATTN_TILE", "512"))
+    for t in [pref] + [x for x in (512, 256, 128) if x != pref]:
         if nq % t == 0:
             return t
-    return min(nq, 512)
+    return min(nq, pref)
 
 
 def _fwd_impl(q, k, v, interpret):
