@@ -27,6 +27,7 @@ def main():
     p.add_argument("--resolution", default=[224, 384], nargs=2, type=int)
     p.add_argument("--remat", action="store_true",
                    help="rematerialise transformer blocks (activation memory)")
+    p.add_argument("--dtype", default="float32")
     args = p.parse_args()
 
     import jax
@@ -35,6 +36,10 @@ def main():
     from mspi_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.dtype == "bfloat16":
+        from mspi_tpu.ops.layers import set_default_compute_dtype
+
+        set_default_compute_dtype(jnp.bfloat16)
 
     from mspi_tpu.config import get_config
     from mspi_tpu.models.fusion import AudioVisualSaliencyModel
@@ -85,7 +90,7 @@ def main():
     dt_1 = time.perf_counter() - t0
     per_step = max((dt_n - dt_1) / args.iters, 1e-9)
     print(json.dumps({
-        "metric": f"AVSP train clips/sec/chip ({args.backbone}, 16x{h}x{w}, batch {args.batch})",
+        "metric": f"AVSP train clips/sec/chip ({args.backbone}, 16x{h}x{w}, batch {args.batch}, {args.dtype})",
         "value": round(args.batch / per_step, 3),
         "unit": "clips/sec/chip",
         "steps_per_sec": round(1.0 / per_step, 3),
