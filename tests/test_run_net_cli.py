@@ -52,3 +52,47 @@ def test_run_net_train_smoke(tmp_path, rng):
     assert any("val" in s for s in stats)
     train_stats = next(s["train"] for s in stats if "train" in s)
     assert np.isfinite(train_stats["loss"])
+
+@pytest.mark.timeout(900)
+def test_run_net_ssl_smoke(tmp_path, rng):
+    data_dir = str(tmp_path / "k400_ssl")
+    _build_k400_tree(data_dir, rng)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "run_net.py"),
+         "--task", "ssl", "--ssl_objective", "simclr", "--model", "s3d",
+         "--data_dir", data_dir, "--epochs", "1", "--batch_size", "2",
+         "--num_frames", "16", "--sampling_rate", "1", "--crop_size", "64",
+         "--optimizer", "sgd"],
+        capture_output=True, text=True, timeout=850, env=env, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    stats = [json.loads(l) for l in proc.stdout.splitlines()
+             if l.startswith("{")]
+    ssl = next(s["ssl"] for s in stats if "ssl" in s)
+    assert ssl["objective"] == "simclr" and np.isfinite(ssl["loss"])
+
+
+@pytest.mark.timeout(900)
+def test_run_net_masked_smoke(tmp_path, rng):
+    data_dir = str(tmp_path / "k400_masked")
+    _build_k400_tree(data_dir, rng, n_videos=2, n_frames=8)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "run_net.py"),
+         "--task", "masked", "--masked_target", "hog",
+         "--data_dir", data_dir, "--epochs", "1", "--batch_size", "2",
+         "--num_frames", "4", "--sampling_rate", "1", "--crop_size", "64"],
+        capture_output=True, text=True, timeout=850, env=env, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    stats = [json.loads(l) for l in proc.stdout.splitlines()
+             if l.startswith("{")]
+    mk = next(s["masked"] for s in stats if "masked" in s)
+    assert mk["target"] == "hog" and np.isfinite(mk["loss"])

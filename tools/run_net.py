@@ -24,7 +24,16 @@ import numpy as np
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="slowfast4x16",
-                   choices=["slowfast4x16", "x3dl", "mvitv2s"])
+                   help="any zoo classifier name (build_classifier) for "
+                        "classification; an AVSP backbone name for ssl")
+    # reference run_net dispatches TRAIN.TASK / MODEL.MODEL_NAME to the
+    # classification, ContrastiveModel and MaskMViT trainers; same here
+    p.add_argument("--task", default="classification",
+                   choices=["classification", "ssl", "masked"])
+    p.add_argument("--ssl_objective", default="moco",
+                   choices=["moco", "simclr", "byol", "swav"])
+    p.add_argument("--masked_target", default="hog",
+                   choices=["hog", "pixel"])
     p.add_argument("--data_dir", required=True)
     p.add_argument("--mode", default="train", choices=["train", "test"])
     p.add_argument("--num_classes", default=400, type=int)
@@ -73,8 +82,126 @@ def batches(dataset, batch_size, shuffle, rng):
         yield collate([dataset[int(i)] for i in idxs])
 
 
+def run_ssl(args):
+    """Contrastive pretraining loop (reference ContrastiveModel training
+    inside train_net.py) on Kinetics frame dirs: two stochastic views per
+    clip, per-objective train step, cosine momentum anneal."""
+    import jax
+    import jax.numpy as jnp
+
+    from mspi_tpu.config import get_config
+    from mspi_tpu.data.kinetics import KineticsFrames
+    from mspi_tpu.data.video import normalize_frames
+    from mspi_tpu.models.registry import build_backbone
+    from mspi_tpu.train.optim import construct_optimizer, lr_cosine
+    from mspi_tpu.train.ssl import (ContrastiveNet, create_ssl_state,
+                                    make_ssl_train_step,
+                                    momentum_anneal_cosine)
+
+    cfg = get_config(args.model)
+    trunk = build_backbone(cfg)
+    model = ContrastiveNet(
+        trunk=trunk, dim_in=cfg.model.embed_dims[-1],
+        use_predictor=args.ssl_objective in ("moco", "byol"),
+        num_prototypes=300 if args.ssl_objective == "swav" else 0)
+    tx = construct_optimizer(None, args.optimizer, args.base_lr,
+                             weight_decay=args.weight_decay,
+                             zero_wd_1d_param=False)
+    ds = KineticsFrames(args.data_dir, "train", args.num_frames,
+                        args.sampling_rate, args.crop_size)
+    rng = np.random.default_rng(0)
+    sample = jnp.zeros((1, args.num_frames, args.crop_size, args.crop_size, 3))
+    state = create_ssl_state(model, tx, sample,
+                             queue_size=4096 if args.ssl_objective == "moco" else 0)
+    step_fn = make_ssl_train_step(model, tx, args.ssl_objective)
+    policy = lr_cosine(args.base_lr, 1e-6, args.epochs, args.warmup_epochs)
+
+    def two_view_batches():
+        order = np.arange(len(ds))
+        rng.shuffle(order)
+        for b in range(len(ds) // args.batch_size):
+            idxs = order[b * args.batch_size:(b + 1) * args.batch_size]
+            v1 = normalize_frames(np.stack([ds[int(i)].clip for i in idxs]))
+            v2 = normalize_frames(np.stack([ds[int(i)].clip for i in idxs]))
+            yield {"clips1": v1, "clips2": v2}
+
+    for epoch in range(args.epochs):
+        losses = []
+        for i, batch in enumerate(two_view_batches()):
+            lr = policy(epoch + i / max(len(ds) // args.batch_size, 1))
+            mom = momentum_anneal_cosine(0.994, epoch, args.epochs)
+            state, loss = step_fn(state, jax.device_put(batch), lr, mom)
+            losses.append(float(loss))
+        print(json.dumps({"ssl": {"epoch": epoch, "objective": args.ssl_objective,
+                                  "loss": float(np.mean(losses))}}))
+
+
+def run_masked(args):
+    """MaskFeat pretraining loop (reference MaskMViT task): random space-time
+    token masks, HOG (or normalised-pixel) regression on the masked tokens."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mspi_tpu.config import get_config
+    from mspi_tpu.data.kinetics import KineticsFrames
+    from mspi_tpu.data.video import normalize_frames
+    from mspi_tpu.models.masked import (MaskedMViT, masked_prediction_loss,
+                                        random_patch_mask)
+    from mspi_tpu.train.optim import lr_cosine
+
+    cfg = get_config("mvitv2s")
+    model = MaskedMViT(cfg=cfg.model.mvit, target=args.masked_target)
+    stride = model.hog_stride if args.masked_target == "hog" else 4
+    grid = (args.num_frames // 2, args.crop_size // stride,
+            args.crop_size // stride)
+    ds = KineticsFrames(args.data_dir, "train", args.num_frames,
+                        args.sampling_rate, args.crop_size)
+    sample = jnp.zeros((1, args.num_frames, args.crop_size, args.crop_size, 3))
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init)(key, sample,
+                                    random_patch_mask(key, 1, grid))
+    tx = optax.adamw(args.base_lr, weight_decay=args.weight_decay)
+    opt_state = tx.init(variables["params"])
+
+    @jax.jit
+    def train_step(params, opt_state, clips, mask):
+        def loss_fn(p):
+            pred, target, m = model.apply({"params": p}, clips, mask,
+                                          train=False)
+            return masked_prediction_loss(
+                pred, target, m.astype(jnp.float32),
+                normalize_target=args.masked_target == "pixel")
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params = variables["params"]
+    rng = np.random.default_rng(0)
+    for epoch in range(args.epochs):
+        losses = []
+        order = np.arange(len(ds))
+        rng.shuffle(order)
+        for b in range(len(ds) // args.batch_size):
+            idxs = order[b * args.batch_size:(b + 1) * args.batch_size]
+            clips = normalize_frames(np.stack([ds[int(i)].clip for i in idxs]))
+            key, k1 = jax.random.split(key)
+            mask = random_patch_mask(k1, len(idxs), grid)
+            params, opt_state, loss = train_step(params, opt_state,
+                                                 jnp.asarray(clips), mask)
+            losses.append(float(loss))
+        print(json.dumps({"masked": {"epoch": epoch,
+                                     "target": args.masked_target,
+                                     "loss": float(np.mean(losses))}}))
+
+
 def main():
     args = parse_args()
+    if args.task == "ssl":
+        return run_ssl(args)
+    if args.task == "masked":
+        return run_masked(args)
     from mspi_tpu.data.kinetics import KineticsFrames
     from mspi_tpu.models.video_zoo import build_classifier
     from mspi_tpu.train.classification import (create_cls_state, eval_epoch,
