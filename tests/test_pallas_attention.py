@@ -165,3 +165,31 @@ def test_mvit_module_fused_path_matches_jnp(rng, monkeypatch):
     assert thw_ref == thw_pl
     np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ref),
                                atol=3e-5)
+
+
+def test_uniformer_attention_fused_path_matches_jnp(rng, monkeypatch):
+    """UniFormer's global Attention through the Pallas path
+    (MSPI_PALLAS_INTERPRET=1) == the jnp einsum path."""
+    from mspi_tpu.models.uniformer import Attention
+
+    attn = Attention(dim=32, num_heads=4)
+    x = jnp.asarray(rng.standard_normal((2, 96, 32)).astype(np.float32))
+    variables = attn.init(jax.random.PRNGKey(0), x)
+    out_ref = attn.apply(variables, x)
+    monkeypatch.setenv("MSPI_PALLAS_INTERPRET", "1")
+    out_pl = attn.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ref),
+                               atol=3e-5)
+
+
+def test_syncblock_attention_fused_path_matches_jnp(rng, monkeypatch):
+    from mspi_tpu.models.fusion import Attention
+
+    attn = Attention(dim=64, num_heads=4)
+    x = jnp.asarray(rng.standard_normal((2, 93, 64)).astype(np.float32))
+    variables = attn.init(jax.random.PRNGKey(0), x)
+    out_ref = attn.apply(variables, x)
+    monkeypatch.setenv("MSPI_PALLAS_INTERPRET", "1")
+    out_pl = attn.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ref),
+                               atol=3e-5)
