@@ -58,6 +58,11 @@ class Mlp2d(nn.Module):
         self.fc2 = dense(self.hidden, self.dim, kernel_init=trunc_normal_init(0.02))
 
     def __call__(self, x):
+        from mspi_tpu.ops.pallas.mlp import maybe_fused_mlp
+
+        out = maybe_fused_mlp(self, x)
+        if out is not None:
+            return out
         return self.fc2(gelu(self.fc1(x)))
 
 

@@ -187,6 +187,11 @@ class Mlp(nn.Module):
         self.fc2 = dense(self.hidden, self.dim)
 
     def __call__(self, x):
+        from mspi_tpu.ops.pallas.mlp import maybe_fused_mlp
+
+        out = maybe_fused_mlp(self, x)
+        if out is not None:
+            return out
         return self.fc2(gelu(self.fc1(x)))
 
 

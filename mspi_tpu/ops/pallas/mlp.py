@@ -1,0 +1,216 @@
+"""Pallas fused transformer MLP: y = gelu(x W1 + b1) W2 + b2 — fwd + bwd.
+
+XLA cannot fuse two matmuls into one kernel, so the 4x-wide hidden
+activation h = gelu(x W1 + b1) round-trips HBM between fc1 and fc2 in
+every transformer MLP (at MViT stage 1 that is a [8*43008, 384] tensor per
+block; the ConvNeXt prior runs 18 such blocks per frame batch).  This
+kernel keeps h entirely in VMEM: one grid step = one row tile computing
+both matmuls with the erf-exact GELU (torch parity, ops.layers.gelu)
+between them.
+
+Backward is the same tiling with recompute: u and h are rebuilt per row
+tile, dW/db accumulate across the whole grid in resident fp32 blocks
+(constant index map -> the accumulator never leaves VMEM).
+
+Weights must fit VMEM (fwd: W1+W2; bwd: + fp32 dW1+dW2), so callers gate
+on C*H — `fits_vmem(C, H)`.  Used by the MViT / SyncBlock / UniFormer /
+ConvNeXt MLPs via their Mlp modules when pallas_enabled().
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INV_SQRT2 = 1.0 / math.sqrt(2.0)
+_INV_SQRT2PI = 1.0 / math.sqrt(2.0 * math.pi)
+
+
+def fits_vmem(c: int, h: int) -> bool:
+    """Conservative gate: weights + grad accumulators + tiles below ~12 MB."""
+    return c * h * (4 + 4) * 2 <= 10 * 1024 * 1024  # bf16/f32 W + fp32 dW, x2 mats
+
+
+def _gelu_f32(u):
+    return 0.5 * u * (1.0 + jax.lax.erf(u * _INV_SQRT2))
+
+
+def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
+    x = x_ref[0]                      # [TR, C] storage dtype
+    u = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
+    u = u + b1_ref[0].astype(jnp.float32)
+    h = _gelu_f32(u).astype(x.dtype)
+    y = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
+    y = y + b2_ref[0].astype(jnp.float32)
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, dy_ref,
+                dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    x = x_ref[0]
+    dy = dy_ref[0].astype(jnp.float32)
+
+    u = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
+    u = u + b1_ref[0].astype(jnp.float32)
+    h = _gelu_f32(u)
+    # d/du gelu(u) = Phi(u) + u * phi(u)
+    dgelu = 0.5 * (1.0 + jax.lax.erf(u * _INV_SQRT2)) \
+        + u * _INV_SQRT2PI * jnp.exp(-0.5 * u * u)
+
+    dy_c = dy.astype(x.dtype)
+    h_c = h.astype(x.dtype)
+    dh = jax.lax.dot_general(  # dy W2^T
+        dy_c, w2_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    du = dh * dgelu
+    du_c = du.astype(x.dtype)
+    dx = jax.lax.dot_general(  # du W1^T
+        du_c, w1_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    dw1 = jax.lax.dot_general(  # x^T du
+        x, du_c, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dw2 = jax.lax.dot_general(  # h^T dy
+        h_c, dy_c, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db1 = jnp.sum(du, axis=0, keepdims=True)
+    db2 = jnp.sum(dy, axis=0, keepdims=True)
+
+    @pl.when(first)
+    def _init():
+        dw1_ref[...] = dw1
+        dw2_ref[...] = dw2
+        db1_ref[...] = db1
+        db2_ref[...] = db2
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        dw1_ref[...] = dw1_ref[...] + dw1
+        dw2_ref[...] = dw2_ref[...] + dw2
+        db1_ref[...] = db1_ref[...] + db1
+        db2_ref[...] = db2_ref[...] + db2
+
+
+def _tile_rows(n: int) -> int:
+    for t in (512, 256, 128):
+        if n % t == 0:
+            return t
+    return min(n, 512)
+
+
+def _fwd_impl(x, w1, b1, w2, b2, interpret):
+    B, N, C = x.shape
+    H = w1.shape[1]
+    TR = _tile_rows(N)
+    grid = (B, N // TR)
+    x_spec = pl.BlockSpec((1, TR, C), lambda b, t: (b, t, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = lambda a, b_: pl.BlockSpec((a, b_), lambda b, t: (0, 0),
+                                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[x_spec, w_spec(C, H), w_spec(1, H), w_spec(H, C), w_spec(1, C)],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        interpret=interpret,
+    )(x, w1, b1.reshape(1, H), w2, b2.reshape(1, C))
+
+
+def _bwd_impl(x, w1, b1, w2, b2, dy, interpret):
+    B, N, C = x.shape
+    H = w1.shape[1]
+    TR = _tile_rows(N)
+    grid = (B, N // TR)
+    x_spec = pl.BlockSpec((1, TR, C), lambda b, t: (b, t, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = lambda a, b_: pl.BlockSpec((a, b_), lambda b, t: (0, 0),
+                                        memory_space=pltpu.VMEM)
+    dx, dw1, db1, dw2, db2 = pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[x_spec, w_spec(C, H), w_spec(1, H), w_spec(H, C),
+                  w_spec(1, C), x_spec],
+        out_specs=[x_spec, w_spec(C, H), w_spec(1, H), w_spec(H, C),
+                   w_spec(1, C)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, C), x.dtype),
+            jax.ShapeDtypeStruct((C, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, w1, b1.reshape(1, H), w2, b2.reshape(1, C), dy)
+    return (dx, dw1.astype(w1.dtype), db1[0].astype(b1.dtype),
+            dw2.astype(w2.dtype), db2[0].astype(b2.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _mlp(x, w1, b1, w2, b2, interpret):
+    return _fwd_impl(x, w1, b1, w2, b2, interpret)
+
+
+def _mlp_fwd(x, w1, b1, w2, b2, interpret):
+    return _fwd_impl(x, w1, b1, w2, b2, interpret), (x, w1, b1, w2, b2)
+
+
+def _mlp_bwd(interpret, res, dy):
+    x, w1, b1, w2, b2 = res
+    return _bwd_impl(x, w1, b1, w2, b2, dy, interpret)
+
+
+_mlp.defvjp(_mlp_fwd, _mlp_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_mlp(
+    x: jnp.ndarray,   # [B, N, C] (flatten leading dims before the call)
+    w1: jnp.ndarray,  # [C, H]
+    b1: jnp.ndarray,  # [H]
+    w2: jnp.ndarray,  # [H, C]
+    b2: jnp.ndarray,  # [C]
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, N, C = x.shape
+    TR = _tile_rows(N)
+    pad = -N % TR
+    if pad:  # outside the custom_vjp: padded rows carry zero cotangent
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    out = _mlp(x, w1, b1, w2, b2, interpret)
+    return out[:, :N] if pad else out
+
+
+def maybe_fused_mlp(mlp_module, x):
+    """Drop-in accelerator for an Mlp module with `fc1`/`fc2` dense fields:
+    returns the fused-kernel result, or None when the caller should take
+    the plain dense path (initialisation, Pallas disabled, weights too big
+    for VMEM, or bias-less layers)."""
+    from mspi_tpu.ops.pallas import pallas_enabled, pallas_interpret
+
+    if mlp_module.is_initializing() or not pallas_enabled():
+        return None
+    p1 = mlp_module.fc1.variables["params"]
+    p2 = mlp_module.fc2.variables["params"]
+    if "bias" not in p1 or "bias" not in p2:
+        return None
+    C, H = p1["kernel"].shape
+    if p2["kernel"].shape != (H, C):  # kernel assumes dim_out == dim_in
+        return None
+    if not fits_vmem(C, H):
+        return None
+    dt = getattr(mlp_module.fc1, "dtype", None) or x.dtype
+    shape = x.shape
+    x3 = x.reshape(shape[0], -1, C) if x.ndim != 3 else x
+    out = fused_mlp(x3.astype(dt), p1["kernel"].astype(dt),
+                    p1["bias"].astype(dt), p2["kernel"].astype(dt),
+                    p2["bias"].astype(dt), interpret=pallas_interpret())
+    return out.reshape(shape)

@@ -193,3 +193,70 @@ def test_syncblock_attention_fused_path_matches_jnp(rng, monkeypatch):
     out_pl = attn.apply(variables, x)
     np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ref),
                                atol=3e-5)
+
+
+# ---- fused MLP ----
+
+from mspi_tpu.ops.pallas.mlp import fused_mlp
+
+
+def _ref_mlp(x, w1, b1, w2, b2):
+    from mspi_tpu.ops import gelu
+
+    return gelu(x @ w1 + b1) @ w2 + b2
+
+
+def test_fused_mlp_matches_reference(rng):
+    B, N, C, H = 2, 160, 24, 96  # N=160 exercises the row-padding path
+    x = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((C, H)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.standard_normal((H,)).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.standard_normal((H, C)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.standard_normal((C,)).astype(np.float32) * 0.1)
+    out = fused_mlp(x, w1, b1, w2, b2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_ref_mlp(x, w1, b1, w2, b2)),
+                               atol=3e-5)
+
+
+def test_fused_mlp_grads_match_reference(rng):
+    B, N, C, H = 1, 128, 16, 64
+    x = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((C, H)).astype(np.float32) * 0.2)
+    b1 = jnp.asarray(rng.standard_normal((H,)).astype(np.float32) * 0.2)
+    w2 = jnp.asarray(rng.standard_normal((H, C)).astype(np.float32) * 0.2)
+    b2 = jnp.asarray(rng.standard_normal((C,)).astype(np.float32) * 0.2)
+    wgt = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32))
+
+    g_f = jax.grad(lambda *a: jnp.sum(fused_mlp(*a, interpret=True) * wgt),
+                   argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    g_r = jax.grad(lambda *a: jnp.sum(_ref_mlp(*a) * wgt),
+                   argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-4)
+
+
+def test_mlp_modules_fused_path(rng, monkeypatch):
+    """Mlp modules route through the fused kernel (MSPI_PALLAS_INTERPRET=1)
+    with identical outputs, including the 5-D (VideoSwin) reshape path."""
+    from mspi_tpu.models.fusion import Mlp as FusionMlp
+    from mspi_tpu.models.videoswin import Mlp as SwinMlp
+
+    m = FusionMlp(dim=32, hidden=128)
+    x = jnp.asarray(rng.standard_normal((2, 50, 32)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    ref = m.apply(v, x)
+    monkeypatch.setenv("MSPI_PALLAS_INTERPRET", "1")
+    np.testing.assert_allclose(np.asarray(m.apply(v, x)), np.asarray(ref),
+                               atol=3e-5)
+
+    sm = SwinMlp(dim=16, hidden=64)
+    x5 = jnp.asarray(rng.standard_normal((1, 2, 4, 6, 16)).astype(np.float32))
+    v5 = sm.init(jax.random.PRNGKey(1), x5)
+    monkeypatch.delenv("MSPI_PALLAS_INTERPRET")
+    ref5 = sm.apply(v5, x5)
+    monkeypatch.setenv("MSPI_PALLAS_INTERPRET", "1")
+    out5 = sm.apply(v5, x5)
+    assert out5.shape == x5.shape
+    np.testing.assert_allclose(np.asarray(out5), np.asarray(ref5), atol=3e-5)
