@@ -36,8 +36,20 @@ def fits_vmem(c: int, h: int) -> bool:
     return c * h * (4 + 4) * 2 <= 10 * 1024 * 1024  # bf16/f32 W + fp32 dW, x2 mats
 
 
+def _erf(x):
+    """erf via Abramowitz-Stegun 7.1.26 (|err| <= 1.5e-7): Pallas TPU has no
+    erf lowering, and the polynomial's error is far below bf16 resolution
+    (torch-parity GELU needs erf, not the tanh approximation)."""
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+               + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _gelu_f32(u):
-    return 0.5 * u * (1.0 + jax.lax.erf(u * _INV_SQRT2))
+    return 0.5 * u * (1.0 + _erf(u * _INV_SQRT2))
 
 
 def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
@@ -60,7 +72,7 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, dy_ref,
     u = u + b1_ref[0].astype(jnp.float32)
     h = _gelu_f32(u)
     # d/du gelu(u) = Phi(u) + u * phi(u)
-    dgelu = 0.5 * (1.0 + jax.lax.erf(u * _INV_SQRT2)) \
+    dgelu = 0.5 * (1.0 + _erf(u * _INV_SQRT2)) \
         + u * _INV_SQRT2PI * jnp.exp(-0.5 * u * u)
 
     dy_c = dy.astype(x.dtype)
