@@ -41,12 +41,14 @@ class ConvNeXtBlock2d(nn.Module):
         )
 
     def __call__(self, x):
+        from mspi_tpu.ops.pallas.mlp import maybe_fused_ln_mlp
+
         shortcut = x
         x = self.conv_dw(x)
-        x = self.norm(x)
-        x = self.mlp(x)
-        x = self.gamma * x
-        return shortcut + x
+        y = maybe_fused_ln_mlp(self.norm, self.mlp, x)
+        if y is None:
+            y = self.mlp(self.norm(x))
+        return shortcut + self.gamma * y
 
 
 class Mlp2d(nn.Module):
@@ -58,11 +60,6 @@ class Mlp2d(nn.Module):
         self.fc2 = dense(self.hidden, self.dim, kernel_init=trunc_normal_init(0.02))
 
     def __call__(self, x):
-        from mspi_tpu.ops.pallas.mlp import maybe_fused_mlp
-
-        out = maybe_fused_mlp(self, x)
-        if out is not None:
-            return out
         return self.fc2(gelu(self.fc1(x)))
 
 

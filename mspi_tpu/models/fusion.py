@@ -73,11 +73,6 @@ class Mlp(nn.Module):
         self.fc2 = dense(self.hidden, self.dim, kernel_init=xavier, bias_init=zeros)
 
     def __call__(self, x):
-        from mspi_tpu.ops.pallas.mlp import maybe_fused_mlp
-
-        out = maybe_fused_mlp(self, x)
-        if out is not None:
-            return out
         return self.fc2(gelu(self.fc1(x)))
 
 
@@ -138,8 +133,11 @@ class Block(nn.Module):
         self.mlp = Mlp(self.dim, int(self.dim * self.mlp_ratio))
 
     def __call__(self, x):
+        from mspi_tpu.ops.pallas.mlp import maybe_fused_ln_mlp
+
         x = x + self.attn(self.norm1(x))
-        x = x + self.mlp(self.norm2(x))
+        y = maybe_fused_ln_mlp(self.norm2, self.mlp, x)
+        x = x + (y if y is not None else self.mlp(self.norm2(x)))
         return x
 
 

@@ -303,11 +303,6 @@ class Mlp(nn.Module):
         self.fc2 = dense(self.hidden, self.out)
 
     def __call__(self, x):
-        from mspi_tpu.ops.pallas.mlp import maybe_fused_mlp
-
-        out = maybe_fused_mlp(self, x)
-        if out is not None:
-            return out
         return self.fc2(gelu(self.fc1(x)))
 
 
@@ -358,7 +353,12 @@ class MultiScaleBlock(nn.Module):
             x = self.proj(x_norm)
         x_res = self._pool_skip(x, thw)
         x = x_res + self.dp(x_block, deterministic=det)
-        x = x + self.dp(self.mlp(self.norm2(x)), deterministic=det)
+        from mspi_tpu.ops.pallas.mlp import maybe_fused_ln_mlp
+
+        y = maybe_fused_ln_mlp(self.norm2, self.mlp, x)
+        if y is None:
+            y = self.mlp(self.norm2(x))
+        x = x + self.dp(y, deterministic=det)
         return x, thw_new
 
 

@@ -35,11 +35,6 @@ class Mlp(nn.Module):
         self.fc2 = dense(self.hidden, self.dim)
 
     def __call__(self, x):
-        from mspi_tpu.ops.pallas.mlp import maybe_fused_mlp
-
-        out = maybe_fused_mlp(self, x)
-        if out is not None:
-            return out
         return self.fc2(gelu(self.fc1(x)))
 
 
@@ -157,7 +152,12 @@ class SABlock(nn.Module):
         B, T, H, W, C = x.shape
         t = x.reshape(B, T * H * W, C)
         t = t + self.dp(self.attn(self.norm1(t)), deterministic=det)
-        t = t + self.dp(self.mlp(self.norm2(t)), deterministic=det)
+        from mspi_tpu.ops.pallas.mlp import maybe_fused_ln_mlp
+
+        y = maybe_fused_ln_mlp(self.norm2, self.mlp, t)
+        if y is None:
+            y = self.mlp(self.norm2(t))
+        t = t + self.dp(y, deterministic=det)
         return t.reshape(B, T, H, W, C)
 
 

@@ -187,11 +187,6 @@ class Mlp(nn.Module):
         self.fc2 = dense(self.hidden, self.dim)
 
     def __call__(self, x):
-        from mspi_tpu.ops.pallas.mlp import maybe_fused_mlp
-
-        out = maybe_fused_mlp(self, x)
-        if out is not None:
-            return out
         return self.fc2(gelu(self.fc1(x)))
 
 
@@ -238,8 +233,11 @@ class SwinTransformerBlock3D(nn.Module):
         return x
 
     def __call__(self, x, mask):
+        from mspi_tpu.ops.pallas.mlp import maybe_fused_ln_mlp
+
         x = x + self._attention_part(x, mask)
-        x = x + self.mlp(self.norm2(x))
+        y = maybe_fused_ln_mlp(self.norm2, self.mlp, x)
+        x = x + (y if y is not None else self.mlp(self.norm2(x)))
         return x
 
 

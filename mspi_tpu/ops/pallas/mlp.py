@@ -226,3 +226,214 @@ def maybe_fused_mlp(mlp_module, x):
                     p1["bias"].astype(dt), p2["kernel"].astype(dt),
                     p2["bias"].astype(dt), interpret=pallas_interpret())
     return out.reshape(shape)
+
+
+# ---------------- LayerNorm-fused variant ----------------
+#
+# In the pre-norm block pattern `x + drop_path(mlp(norm(x)))`, XLA cannot
+# fuse the LN (a reduction) into the first matmul, so BOTH the normalised
+# activation and the 4x hidden tensor round-trip HBM.  This kernel reads x
+# once and writes only the MLP output: LN (fast-variance, flax semantics)
+# -> fc1 -> gelu -> fc2 inside one grid step.
+
+
+def _ln_f32(x, g, b, eps):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    xhat = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return xhat, mu, var, xhat * g.astype(jnp.float32) + b.astype(jnp.float32)
+
+
+def _ln_fwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   out_ref, *, eps):
+    x = x_ref[0]
+    _, _, _, z = _ln_f32(x, g_ref[0], be_ref[0], eps)
+    z = z.astype(x.dtype)
+    u = jnp.dot(z, w1_ref[...], preferred_element_type=jnp.float32)
+    u = u + b1_ref[0].astype(jnp.float32)
+    h = _gelu_f32(u).astype(x.dtype)
+    y = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
+    y = y + b2_ref[0].astype(jnp.float32)
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def _ln_bwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   dy_ref, dx_ref, dg_ref, dbe_ref, dw1_ref, db1_ref,
+                   dw2_ref, db2_ref, *, eps):
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    x = x_ref[0]
+    dy = dy_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+
+    xhat, mu, var, z = _ln_f32(x, g_ref[0], be_ref[0], eps)
+    z_c = z.astype(x.dtype)
+    u = jnp.dot(z_c, w1_ref[...], preferred_element_type=jnp.float32)
+    u = u + b1_ref[0].astype(jnp.float32)
+    h = _gelu_f32(u)
+    dgelu = 0.5 * (1.0 + _erf(u * _INV_SQRT2)) \
+        + u * _INV_SQRT2PI * jnp.exp(-0.5 * u * u)
+
+    dy_c = dy.astype(x.dtype)
+    h_c = h.astype(x.dtype)
+    dh = jax.lax.dot_general(
+        dy_c, w2_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    du = dh * dgelu
+    du_c = du.astype(x.dtype)
+    dz = jax.lax.dot_general(  # du W1^T -> grad at the LN-affine output
+        du_c, w1_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # LN backward (fast-variance formula, per row over C)
+    dxhat = dz * g
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = (dxhat - m1 - xhat * m2) * jax.lax.rsqrt(var + eps)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    dw1 = jax.lax.dot_general(
+        z_c, du_c, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dw2 = jax.lax.dot_general(
+        h_c, dy_c, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db1 = jnp.sum(du, axis=0, keepdims=True)
+    db2 = jnp.sum(dy, axis=0, keepdims=True)
+    dg = jnp.sum(dz * xhat, axis=0, keepdims=True)
+    dbe = jnp.sum(dz, axis=0, keepdims=True)
+
+    @pl.when(first)
+    def _init():
+        dw1_ref[...] = dw1
+        dw2_ref[...] = dw2
+        db1_ref[...] = db1
+        db2_ref[...] = db2
+        dg_ref[...] = dg
+        dbe_ref[...] = dbe
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        dw1_ref[...] = dw1_ref[...] + dw1
+        dw2_ref[...] = dw2_ref[...] + dw2
+        db1_ref[...] = db1_ref[...] + db1
+        db2_ref[...] = db2_ref[...] + db2
+        dg_ref[...] = dg_ref[...] + dg
+        dbe_ref[...] = dbe_ref[...] + dbe
+
+
+def _ln_specs(B, N, C, H, TR):
+    x_spec = pl.BlockSpec((1, TR, C), lambda b, t: (b, t, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = lambda a, b_: pl.BlockSpec((a, b_), lambda b, t: (0, 0),
+                                        memory_space=pltpu.VMEM)
+    return x_spec, w_spec
+
+
+def _ln_fwd_impl(x, g, be, w1, b1, w2, b2, eps, interpret):
+    B, N, C = x.shape
+    H = w1.shape[1]
+    TR = _tile_rows(N)
+    x_spec, w_spec = _ln_specs(B, N, C, H, TR)
+    return pl.pallas_call(
+        functools.partial(_ln_fwd_kernel, eps=eps),
+        grid=(B, N // TR),
+        in_specs=[x_spec, w_spec(1, C), w_spec(1, C), w_spec(C, H),
+                  w_spec(1, H), w_spec(H, C), w_spec(1, C)],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        interpret=interpret,
+    )(x, g.reshape(1, C), be.reshape(1, C), w1, b1.reshape(1, H), w2,
+      b2.reshape(1, C))
+
+
+def _ln_bwd_impl(x, g, be, w1, b1, w2, b2, dy, eps, interpret):
+    B, N, C = x.shape
+    H = w1.shape[1]
+    TR = _tile_rows(N)
+    x_spec, w_spec = _ln_specs(B, N, C, H, TR)
+    outs = pl.pallas_call(
+        functools.partial(_ln_bwd_kernel, eps=eps),
+        grid=(B, N // TR),
+        in_specs=[x_spec, w_spec(1, C), w_spec(1, C), w_spec(C, H),
+                  w_spec(1, H), w_spec(H, C), w_spec(1, C), x_spec],
+        out_specs=[x_spec, w_spec(1, C), w_spec(1, C), w_spec(C, H),
+                   w_spec(1, H), w_spec(H, C), w_spec(1, C)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, C), x.dtype),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, g.reshape(1, C), be.reshape(1, C), w1, b1.reshape(1, H), w2,
+      b2.reshape(1, C), dy)
+    dx, dg, dbe, dw1, db1, dw2, db2 = outs
+    return (dx, dg[0].astype(g.dtype), dbe[0].astype(be.dtype),
+            dw1.astype(w1.dtype), db1[0].astype(b1.dtype),
+            dw2.astype(w2.dtype), db2[0].astype(b2.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _ln_mlp(x, g, be, w1, b1, w2, b2, eps, interpret):
+    return _ln_fwd_impl(x, g, be, w1, b1, w2, b2, eps, interpret)
+
+
+def _ln_mlp_fwd(x, g, be, w1, b1, w2, b2, eps, interpret):
+    return (_ln_fwd_impl(x, g, be, w1, b1, w2, b2, eps, interpret),
+            (x, g, be, w1, b1, w2, b2))
+
+
+def _ln_mlp_bwd(eps, interpret, res, dy):
+    x, g, be, w1, b1, w2, b2 = res
+    return _ln_bwd_impl(x, g, be, w1, b1, w2, b2, dy, eps, interpret)
+
+
+_ln_mlp.defvjp(_ln_mlp_fwd, _ln_mlp_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def fused_ln_mlp(x, g, be, w1, b1, w2, b2, eps: float = 1e-6,
+                 interpret: bool = False) -> jnp.ndarray:
+    """fc2(gelu(fc1(LN(x)))) with LN and the hidden tensor in VMEM.
+    The residual add / drop-path stays with the caller."""
+    B, N, C = x.shape
+    TR = _tile_rows(N)
+    pad = -N % TR
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    out = _ln_mlp(x, g, be, w1, b1, w2, b2, eps, interpret)
+    return out[:, :N] if pad else out
+
+
+def maybe_fused_ln_mlp(norm_module, mlp_module, x):
+    """Block-level accelerator for `mlp(norm(x))` where norm is a LayerNorm
+    and mlp has dense fc1/fc2: returns the fused result (caller adds the
+    residual / drop-path), or None for the plain path."""
+    from mspi_tpu.ops.pallas import pallas_enabled, pallas_interpret
+
+    if mlp_module.is_initializing() or not pallas_enabled():
+        return None
+    pn = norm_module.variables["params"]
+    p1 = mlp_module.fc1.variables["params"]
+    p2 = mlp_module.fc2.variables["params"]
+    if "scale" not in pn or "bias" not in pn:
+        return None
+    if "bias" not in p1 or "bias" not in p2:
+        return None
+    C, H = p1["kernel"].shape
+    if p2["kernel"].shape != (H, C) or not fits_vmem(C, H):
+        return None
+    dt = getattr(mlp_module.fc1, "dtype", None) or x.dtype
+    shape = x.shape
+    x3 = x.reshape(shape[0], -1, C) if x.ndim != 3 else x
+    out = fused_ln_mlp(x3.astype(dt), pn["scale"].astype(dt),
+                       pn["bias"].astype(dt), p1["kernel"].astype(dt),
+                       p1["bias"].astype(dt), p2["kernel"].astype(dt),
+                       p2["bias"].astype(dt),
+                       eps=float(norm_module.epsilon),
+                       interpret=pallas_interpret())
+    return out.reshape(shape)

@@ -260,3 +260,52 @@ def test_mlp_modules_fused_path(rng, monkeypatch):
     out5 = sm.apply(v5, x5)
     assert out5.shape == x5.shape
     np.testing.assert_allclose(np.asarray(out5), np.asarray(ref5), atol=3e-5)
+
+
+def test_fused_ln_mlp_matches_reference(rng):
+    from mspi_tpu.ops.pallas.mlp import fused_ln_mlp
+
+    B, N, C, H = 2, 96, 32, 128
+    x = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32))
+    g = jnp.asarray(1.0 + 0.1 * rng.standard_normal(C).astype(np.float32))
+    be = jnp.asarray(0.1 * rng.standard_normal(C).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((C, H)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.standard_normal(H).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.standard_normal((H, C)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+
+    def ref(x, g, be, w1, b1, w2, b2):
+        from mspi_tpu.ops import gelu
+
+        mu = x.mean(-1, keepdims=True)
+        var = (x * x).mean(-1, keepdims=True) - mu * mu
+        z = (x - mu) * jax.lax.rsqrt(var + 1e-6) * g + be
+        return gelu(z @ w1 + b1) @ w2 + b2
+
+    out = fused_ln_mlp(x, g, be, w1, b1, w2, b2, eps=1e-6, interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(ref(x, g, be, w1, b1, w2, b2)),
+                               atol=3e-5)
+
+    wgt = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32))
+    g_f = jax.grad(lambda *a: jnp.sum(fused_ln_mlp(
+        *a, eps=1e-6, interpret=True) * wgt), argnums=tuple(range(7)))(
+        x, g, be, w1, b1, w2, b2)
+    g_r = jax.grad(lambda *a: jnp.sum(ref(*a) * wgt),
+                   argnums=tuple(range(7)))(x, g, be, w1, b1, w2, b2)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-4)
+
+
+def test_block_level_ln_mlp_fused_path(rng, monkeypatch):
+    """fusion.Block end to end: fused LN+MLP path == plain path."""
+    from mspi_tpu.models.fusion import Block
+
+    blk = Block(dim=32, num_heads=4)
+    x = jnp.asarray(rng.standard_normal((2, 40, 32)).astype(np.float32))
+    v = blk.init(jax.random.PRNGKey(0), x)
+    ref = blk.apply(v, x)
+    monkeypatch.setenv("MSPI_PALLAS_INTERPRET", "1")
+    out = blk.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
