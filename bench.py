@@ -97,14 +97,20 @@ def main():
         vs = clips_per_sec / base
 
     # FLOPs / MFU: XLA's own cost analysis of the single-forward program,
-    # against the chip's MXU peak (TPU v5e: 197 TFLOP/s bf16).
+    # against the chip's MXU peak (TPU v5e: 197 TFLOP/s bf16).  The analysis
+    # runs with Pallas disabled: custom kernels are invisible to XLA's FLOP
+    # counter, and the jnp path computes the same math.
     flops_per_clip = mfu = None
     try:
         from mspi_tpu.utils.profiling import cost_analysis
 
         def fwd(variables, clips_u8, audio):
-            out, _ = model.apply(variables, normalize_clip_jax(clips_u8), audio,
-                                 train=False)
+            os.environ["MSPI_DISABLE_PALLAS"] = "1"
+            try:
+                out, _ = model.apply(variables, normalize_clip_jax(clips_u8),
+                                     audio, train=False)
+            finally:
+                os.environ.pop("MSPI_DISABLE_PALLAS", None)
             return out
 
         flops = cost_analysis(fwd, variables, clips_u8, audio).get("flops", 0.0)
