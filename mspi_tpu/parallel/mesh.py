@@ -80,3 +80,26 @@ def param_shardings(mesh: Mesh, variables: Any, model_axis: str = "model") -> An
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(rule, variables)
+
+
+def maybe_init_distributed() -> bool:
+    """Multi-host (DCN) initialisation — the TPU-native analog of the
+    reference's NUM_SHARDS multi-machine path
+    (SlowFast/slowfast/utils/multiprocessing.py:9-60 spawns one process
+    per GPU and init_process_group's over TCP).  Here: one process per
+    host, `jax.distributed.initialize` over the coordinator, and the same
+    single jitted program — `jax.devices()` then spans all hosts, so every
+    mesh built by create_mesh is global with zero further plumbing.
+
+    No-op (returns False) unless MSPI_COORDINATOR is set;
+    MSPI_NUM_PROCESSES / MSPI_PROCESS_ID complete the spec."""
+    import os
+
+    addr = os.environ.get("MSPI_COORDINATOR")
+    if not addr:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(os.environ["MSPI_NUM_PROCESSES"]),
+        process_id=int(os.environ["MSPI_PROCESS_ID"]))
+    return True

@@ -36,3 +36,10 @@ def test_frame_axis_sequence_sharding(rng):
                                rtol=1e-5)
     # the output really is sharded over the frame axis
     assert len(out.sharding.device_set) == 8
+
+
+def test_maybe_init_distributed_noop(monkeypatch):
+    from mspi_tpu.parallel import maybe_init_distributed
+
+    monkeypatch.delenv("MSPI_COORDINATOR", raising=False)
+    assert maybe_init_distributed() is False

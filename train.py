@@ -62,6 +62,10 @@ def main():
 
     enable_compilation_cache()
 
+    from mspi_tpu.parallel import maybe_init_distributed
+
+    maybe_init_distributed()  # multi-host: no-op unless MSPI_COORDINATOR set
+
     from mspi_tpu.config import get_config
     from mspi_tpu.data.datasets import build_training_datasets
     from mspi_tpu.data.loader import DataLoader
