@@ -36,6 +36,9 @@ def parse_args():
     parser.add_argument("--window_batch", default=8, type=int)
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute for the backbone hot path")
+    parser.add_argument("--device_post", action="store_true",
+                        help="run blur/exp/resize/minmax on the device "
+                             "(batched) instead of per-map cv2 on the host")
     parser.add_argument("--audio_len_snippet", default=32, type=int,
                         help="audio window length in frames; the reference's "
                              "get_audio_feature defaults to 32 even for 16-frame "
@@ -65,6 +68,46 @@ def blur_exp_resize(pred_map: np.ndarray, img_size=(640, 480)) -> np.ndarray:
     pred_map = cv2.resize(pred_map, img_size)
     pred_map = (pred_map - pred_map.min()) / (pred_map.max() - pred_map.min())
     return np.round(pred_map * 255).astype(np.uint8)
+
+
+def make_device_post(img_size=(640, 480)):
+    """Batched on-device post-processing (--device_post): exactly the cv2
+    pipeline above — 11x11 Gaussian (sigma = 0.3*((k-1)*0.5-1)+0.8 = 2.0,
+    REFLECT_101 border = np/jnp 'reflect'), exp, half-pixel bilinear resize,
+    per-map min-max, round to uint8 — but fused into the jitted program, so
+    the single-core host only writes files."""
+    import jax
+    import jax.numpy as jnp
+
+    from mspi_tpu.ops import resize_to
+
+    sigma = 0.3 * ((11 - 1) * 0.5 - 1) + 0.8
+    xk = np.arange(11, dtype=np.float64) - 5
+    k1 = np.exp(-0.5 * (xk / sigma) ** 2)
+    k1 = (k1 / k1.sum()).astype(np.float32)
+
+    # separable blur via two 1-D convolutions expressed as banded matmuls
+    # (static sizes; stays on the device's MXU/VPU)
+    def band(n):
+        m = np.zeros((n, n + 10), np.float32)
+        for i in range(n):
+            m[i, i:i + 11] = k1
+        return jnp.asarray(m)
+
+    @jax.jit
+    def post2(pred):
+        B, hh, ww = pred.shape
+        p = jnp.pad(pred, ((0, 0), (5, 5), (5, 5)), mode="reflect")
+        p = jnp.einsum("hH,bHw->bhw", band(hh), p)
+        p = jnp.einsum("wW,bhW->bhw", band(ww), p)
+        p = jnp.exp(p)
+        p = resize_to(p, [img_size[1], img_size[0]], [1, 2])
+        mn = p.min(axis=(1, 2), keepdims=True)
+        mx = p.max(axis=(1, 2), keepdims=True)
+        p = (p - mn) / (mx - mn)
+        return jnp.round(p * 255).astype(jnp.uint8)
+
+    return post2
 
 
 def main():
@@ -124,6 +167,7 @@ def main():
             out, _ = model.apply(variables, clips, train=False)
         return out
 
+    device_post = make_device_post() if args.device_post else None
     names, videos_fps, _ = read_fold_list(args.path_data, args.dataset, "test", args.split)
     print(names)
 
@@ -160,10 +204,17 @@ def main():
             inputs = [make_inputs(j) for j in chunk]
             clips = np.stack([c for c, _ in inputs] + [inputs[-1][0]] * pad)
             auds = np.stack([a for _, a in inputs] + [inputs[-1][1]] * pad)
-            preds = np.asarray(forward(jnp.asarray(clips), jnp.asarray(auds)))
-            for (s, flipped, out_idx), pred in zip(chunk, preds):
-                png = blur_exp_resize(pred)
-                cv2.imwrite(os.path.join(out_dir, os.path.basename(list_frames[out_idx])), png)
+            preds_dev = forward(jnp.asarray(clips), jnp.asarray(auds))
+            if args.device_post:
+                pngs = np.asarray(device_post(preds_dev))
+                for (s, flipped, out_idx), png in zip(chunk, pngs):
+                    cv2.imwrite(os.path.join(out_dir,
+                                             os.path.basename(list_frames[out_idx])), png)
+            else:
+                preds = np.asarray(preds_dev)
+                for (s, flipped, out_idx), pred in zip(chunk, preds):
+                    png = blur_exp_resize(pred)
+                    cv2.imwrite(os.path.join(out_dir, os.path.basename(list_frames[out_idx])), png)
 
 
 if __name__ == "__main__":

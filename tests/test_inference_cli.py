@@ -71,3 +71,15 @@ def test_checkpoint_save_resume_roundtrip(tmp_path, rng):
     a = jax.tree.leaves(state.params)[0]
     b = jax.tree.leaves(restored.params)[0]
     np.testing.assert_array_equal(np.array(a), np.array(b))
+
+
+def test_device_post_matches_cv2(rng):
+    """--device_post: the batched on-device blur/exp/resize/minmax pipeline
+    matches the host cv2 path within one uint8 rounding step."""
+    from inference import blur_exp_resize, make_device_post
+
+    pred = (rng.standard_normal((3, 224, 384)) * 0.5).astype(np.float32)
+    host = np.stack([blur_exp_resize(p) for p in pred])
+    dev = np.asarray(make_device_post()(pred))
+    assert dev.shape == host.shape and dev.dtype == np.uint8
+    assert np.abs(host.astype(int) - dev.astype(int)).max() <= 1
