@@ -101,7 +101,7 @@ class Attention(nn.Module):
 
         from mspi_tpu.ops.pallas import pallas_enabled
 
-        if pallas_enabled() and N <= 2048:
+        if pallas_enabled() and N <= 4096:
             from mspi_tpu.ops.pallas.pooled_attention import fused_attention
 
             from mspi_tpu.ops.pallas import pallas_interpret

@@ -263,10 +263,13 @@ class MultiScaleAttention(nn.Module):
 
         from mspi_tpu.ops.pallas import pallas_enabled
 
-        # Fused Pallas path: after kv pooling Nk is small (672 at the
-        # reference resolution), so the whole [TQ, Nk] score tile lives in
-        # VMEM and the [B,H,Nq,Nk] tensor never round-trips HBM.
-        if pallas_enabled() and k.shape[2] <= 2048:
+        # Fused Pallas path: after kv pooling Nk is small enough (<=2688 at
+        # the reference resolution, incl. the q-pooling stage-transition
+        # blocks) that the whole [TQ, Nk] score tile lives in VMEM (the
+        # kernel shrinks TQ to budget) and the [B,H,Nq,Nk] tensor never
+        # round-trips HBM — the jnp fallback on the three transition blocks
+        # was ~19% of the flagship step (profiled r2).
+        if pallas_enabled() and k.shape[2] <= 4096:
             from mspi_tpu.ops.pallas.pooled_attention import fused_attention
 
             q_aug, k_aug = augment_for_fused_attn(

@@ -95,21 +95,33 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
         dv_ref[0, 0] = (dv_ref[0, 0].astype(jnp.float32) + dv).astype(dv_ref.dtype)
 
 
-def _tile(nq: int) -> int:
+def _tile(nq: int, nk: int, score_bytes: int) -> int:
+    """Largest q-tile that (a) divides Nq and (b) keeps the score-sized
+    VMEM intermediates (TQ x Nk x score_bytes) under budget.  score_bytes
+    is the per-element footprint of all score-shaped buffers live at once:
+    ~8 B in forward (fp32 scores + cast probs), ~20 B in backward (probs,
+    dp, ds + casts).  An explicit MSPI_ATTN_TILE wins uncapped."""
     import os
 
-    # MSPI_ATTN_TILE overrides the preferred q-tile (perf tuning knob)
-    pref = int(os.environ.get("MSPI_ATTN_TILE", "512"))
-    for t in [pref] + [x for x in (512, 256, 128) if x != pref]:
+    env = os.environ.get("MSPI_ATTN_TILE")
+    if env:
+        pref = int(env)
+        for t in [pref, 512, 256, 128]:
+            if nq % t == 0:
+                return t
+        return min(nq, pref)
+    budget = int(os.environ.get("MSPI_ATTN_VMEM_BUDGET", 8 * 1024 * 1024))
+    fits = [t for t in (512, 256, 128) if t * nk * score_bytes <= budget]
+    for t in fits or [128]:
         if nq % t == 0:
             return t
-    return min(nq, pref)
+    return min(nq, (fits or [128])[0])
 
 
 def _fwd_impl(q, k, v, interpret):
     B, H, Nq, Da = q.shape
     Nk, Dv = k.shape[2], v.shape[3]
-    TQ = _tile(Nq)
+    TQ = _tile(Nq, Nk, 8)
     grid = (B, H, Nq // TQ)
     q_spec = pl.BlockSpec((1, 1, TQ, Da), lambda b, h, t: (b, h, t, 0),
                           memory_space=pltpu.VMEM)
@@ -129,7 +141,7 @@ def _fwd_impl(q, k, v, interpret):
 def _bwd_impl(q, k, v, do, interpret):
     B, H, Nq, Da = q.shape
     Nk, Dv = k.shape[2], v.shape[3]
-    TQ = _tile(Nq)
+    TQ = _tile(Nq, Nk, 20)
     grid = (B, H, Nq // TQ)
     q_spec = pl.BlockSpec((1, 1, TQ, Da), lambda b, h, t: (b, h, t, 0),
                           memory_space=pltpu.VMEM)
@@ -180,7 +192,7 @@ def fused_attention(
     size here (outside the custom_vjp, so padded rows carry zero cotangent
     and contribute nothing to dk/dv)."""
     B, H, Nq, _ = q.shape
-    TQ = _tile(Nq)
+    TQ = _tile(Nq, k.shape[2], 8)
     pad = -Nq % TQ
     if pad:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))

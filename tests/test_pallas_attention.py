@@ -309,3 +309,45 @@ def test_block_level_ln_mlp_fused_path(rng, monkeypatch):
     monkeypatch.setenv("MSPI_PALLAS_INTERPRET", "1")
     out = blk.apply(v, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_tile_is_vmem_budget_aware(monkeypatch):
+    # the three MViT stage-transition blocks (Nk=2688 at 224x384) must pick
+    # smaller q-tiles so the score intermediates stay under the VMEM budget
+    from mspi_tpu.ops.pallas.pooled_attention import _tile
+
+    monkeypatch.delenv("MSPI_ATTN_TILE", raising=False)
+    assert _tile(10752, 2688, 8) == 256      # fwd, layers_1 geometry
+    assert _tile(10752, 2688, 20) == 128     # bwd
+    assert _tile(2688, 2688, 8) == 128       # layers_3 (2688 % 256 != 0)
+    assert _tile(1024, 2688, 20) == 128      # layers_14 (padded Nq)
+    assert _tile(10752, 672, 8) == 512       # non-transition blocks unchanged
+    assert _tile(1024, 672, 20) == 512
+    # env override wins uncapped
+    monkeypatch.setenv("MSPI_ATTN_TILE", "512")
+    assert _tile(10752, 2688, 8) == 512
+
+
+def test_fused_pooled_attention_shrunk_tile_parity(rng, monkeypatch):
+    # drive the budget-shrunk tile path (TQ=128 < Nq) at small shapes by
+    # lowering the budget — same code path the Nk=2688 transition blocks take
+    monkeypatch.delenv("MSPI_ATTN_TILE", raising=False)
+    monkeypatch.setenv("MSPI_ATTN_VMEM_BUDGET", str(128 * 160 * 8))
+    B, H, Nq, Nk, D = 1, 1, 256, 160, 32
+    q = jnp.asarray(rng.standard_normal((B, H, Nq, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, Nk, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, Nk, D)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((B, H, Nq, D)).astype(np.float32))
+
+    from mspi_tpu.ops.pallas.pooled_attention import _tile
+
+    assert _tile(Nq, Nk, 8) == 128 and _tile(Nq, Nk, 20) == 128
+    out = fused_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref_attention(q, k, v)),
+                               atol=2e-5)
+    g_f = jax.grad(lambda q, k, v: jnp.sum(
+        fused_attention(q, k, v, interpret=True) * w), argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(lambda q, k, v: jnp.sum(
+        _ref_attention(q, k, v) * w), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
