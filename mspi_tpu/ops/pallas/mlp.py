@@ -36,16 +36,33 @@ def fits_vmem(c: int, h: int) -> bool:
     return c * h * (4 + 4) * 2 <= 10 * 1024 * 1024  # bf16/f32 W + fp32 dW, x2 mats
 
 
+# degree-16 Chebyshev fit of erf(z)/z over z in [-4, 4], Horner in the
+# shifted variable u = (z^2 - 8)/8 in [-1, 1] (monomials in z^2 would lose
+# ~4 digits to cancellation in fp32)
+_ERF_COEF = (
+    3.535309975350e-01, -1.765761846074e-01, 1.316748393912e-01,
+    -1.077128407766e-01, 9.021568368589e-02, -7.469362173441e-02,
+    5.982504407076e-02, -4.598314808437e-02, 3.334546889909e-02,
+    -2.174387528189e-02, 1.361992465041e-02, -9.972879042824e-03,
+    5.934167554927e-03, -1.156541100318e-03, 3.873904780020e-04,
+    -1.350484219801e-03, 6.560723747351e-04,
+)
+
+
 def _erf(x):
-    """erf via Abramowitz-Stegun 7.1.26 (|err| <= 1.5e-7): Pallas TPU has no
-    erf lowering, and the polynomial's error is far below bf16 resolution
-    (torch-parity GELU needs erf, not the tanh approximation)."""
-    s = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * ax)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
-               + t * (-1.453152027 + t * 1.061405429))))
-    return s * (1.0 - poly * jnp.exp(-ax * ax))
+    """erf as a pure-FMA odd polynomial: z*P((z^2-8)/8) on |z|<=4, clamped
+    beyond (erf(4) = 1 - 1.5e-8).  |err| <= 2e-7 in fp32 Horner — same
+    accuracy class as the Abramowitz-Stegun 7.1.26 rational it replaces
+    (torch-parity GELU needs erf, not the tanh approximation; Pallas TPU
+    has no erf lowering), but with no divide and no exp: the A-S divide
+    alone cost ~1.6 ms per ConvNeXt stage-0 call on the VPU (measured
+    r2 — transcendentals, not DMA or MXU, bounded this kernel)."""
+    z = jnp.clip(x, -4.0, 4.0)
+    u = z * z * 0.125 - 1.0
+    r = _ERF_COEF[-1]
+    for c in _ERF_COEF[-2::-1]:
+        r = r * u + c
+    return z * r
 
 
 def _gelu_f32(u):
@@ -111,17 +128,36 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, dy_ref,
         db2_ref[...] = db2_ref[...] + db2
 
 
-def _tile_rows(n: int) -> int:
-    for t in (512, 256, 128):
+def _tile_rows(n: int, h: int, hidden_bytes: int) -> int:
+    """Largest row tile that divides N (multiples of 128 preferred) while the
+    hidden-sized VMEM intermediates (TR x H x hidden_bytes) stay in budget.
+    Small tiles are the enemy here: at [128, 5376, 96] a 256-row tile means
+    2688 grid steps of ~50 KB DMAs and the kernel runs ~9x off the HBM
+    roofline on per-step overhead (profiled r2: 2.95 ms vs 0.33 ms SOL).
+    hidden_bytes ~= live score-sized buffers: 6 fwd (f32 u + bf16 h),
+    24 bwd (u, h, dgelu, dh, du in f32 + casts)."""
+    import os
+
+    budget = int(os.environ.get("MSPI_MLP_VMEM_BUDGET", 8 * 1024 * 1024))
+    cap = max(128, budget // max(h * hidden_bytes, 1) // 128 * 128)
+    best = 0
+    t = 128
+    while t <= min(n, cap):
         if n % t == 0:
+            best = t
+        t += 128
+    if best:
+        return best
+    for t in (512, 256, 128):
+        if t <= cap and n % t == 0:
             return t
-    return min(n, 512)
+    return min(n, min(cap, 512))
 
 
 def _fwd_impl(x, w1, b1, w2, b2, interpret):
     B, N, C = x.shape
     H = w1.shape[1]
-    TR = _tile_rows(N)
+    TR = _tile_rows(N, H, 6)
     grid = (B, N // TR)
     x_spec = pl.BlockSpec((1, TR, C), lambda b, t: (b, t, 0),
                           memory_space=pltpu.VMEM)
@@ -140,7 +176,7 @@ def _fwd_impl(x, w1, b1, w2, b2, interpret):
 def _bwd_impl(x, w1, b1, w2, b2, dy, interpret):
     B, N, C = x.shape
     H = w1.shape[1]
-    TR = _tile_rows(N)
+    TR = _tile_rows(N, H, 24)
     grid = (B, N // TR)
     x_spec = pl.BlockSpec((1, TR, C), lambda b, t: (b, t, 0),
                           memory_space=pltpu.VMEM)
@@ -193,7 +229,7 @@ def fused_mlp(
     interpret: bool = False,
 ) -> jnp.ndarray:
     B, N, C = x.shape
-    TR = _tile_rows(N)
+    TR = _tile_rows(N, w1.shape[1], 6)
     pad = -N % TR
     if pad:  # outside the custom_vjp: padded rows carry zero cotangent
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
@@ -333,7 +369,7 @@ def _ln_specs(B, N, C, H, TR):
 def _ln_fwd_impl(x, g, be, w1, b1, w2, b2, eps, interpret):
     B, N, C = x.shape
     H = w1.shape[1]
-    TR = _tile_rows(N)
+    TR = _tile_rows(N, H, 6)
     x_spec, w_spec = _ln_specs(B, N, C, H, TR)
     return pl.pallas_call(
         functools.partial(_ln_fwd_kernel, eps=eps),
@@ -350,7 +386,7 @@ def _ln_fwd_impl(x, g, be, w1, b1, w2, b2, eps, interpret):
 def _ln_bwd_impl(x, g, be, w1, b1, w2, b2, dy, eps, interpret):
     B, N, C = x.shape
     H = w1.shape[1]
-    TR = _tile_rows(N)
+    TR = _tile_rows(N, H, 24)
     x_spec, w_spec = _ln_specs(B, N, C, H, TR)
     outs = pl.pallas_call(
         functools.partial(_ln_bwd_kernel, eps=eps),
@@ -401,7 +437,7 @@ def fused_ln_mlp(x, g, be, w1, b1, w2, b2, eps: float = 1e-6,
     """fc2(gelu(fc1(LN(x)))) with LN and the hidden tensor in VMEM.
     The residual add / drop-path stays with the caller."""
     B, N, C = x.shape
-    TR = _tile_rows(N)
+    TR = _tile_rows(N, w1.shape[1], 6)
     pad = -N % TR
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
