@@ -151,13 +151,41 @@ def _tile_rows(n: int, h: int, hidden_bytes: int) -> int:
     for t in (512, 256, 128):
         if t <= cap and n % t == 0:
             return t
-    return min(n, min(cap, 512))
+    # no divisor in range: caller pads N up to a multiple of the tile
+    return min(cap, -(-n // 128) * 128)
 
 
-def _fwd_impl(x, w1, b1, w2, b2, interpret):
+# Tile contract: N is padded to a multiple of the BACKWARD tile (the larger
+# 24 B/hidden-element footprint), and the forward runs a tile that is a
+# multiple of it (6 B footprint -> usually bigger), so both grids exactly
+# cover the padded N.  Independent fwd/bwd tile choices silently truncated
+# the bwd grid when they diverged (e.g. N=200, H=2048: fwd TR=200,
+# bwd TR=128 -> rows 128-199 uninitialized).
+_BWD_HIDDEN_BYTES = 24
+_FWD_HIDDEN_BYTES = 6
+
+
+def _fwd_tile(n: int, h: int, tr_bwd: int) -> int:
+    """Largest multiple of the bwd tile that divides (padded) n and fits the
+    forward VMEM budget."""
+    import os
+
+    budget = int(os.environ.get("MSPI_MLP_VMEM_BUDGET", 8 * 1024 * 1024))
+    cap = max(tr_bwd, budget // max(h * _FWD_HIDDEN_BYTES, 1))
+    best = tr_bwd
+    t = tr_bwd
+    while t <= min(n, cap):
+        if n % t == 0:
+            best = t
+        t += tr_bwd
+    return best
+
+
+def _fwd_impl(x, w1, b1, w2, b2, tr, interpret):
     B, N, C = x.shape
     H = w1.shape[1]
-    TR = _tile_rows(N, H, 6)
+    TR = _fwd_tile(N, H, tr)
+    assert N % TR == 0, (N, TR)
     grid = (B, N // TR)
     x_spec = pl.BlockSpec((1, TR, C), lambda b, t: (b, t, 0),
                           memory_space=pltpu.VMEM)
@@ -173,10 +201,11 @@ def _fwd_impl(x, w1, b1, w2, b2, interpret):
     )(x, w1, b1.reshape(1, H), w2, b2.reshape(1, C))
 
 
-def _bwd_impl(x, w1, b1, w2, b2, dy, interpret):
+def _bwd_impl(x, w1, b1, w2, b2, dy, tr, interpret):
     B, N, C = x.shape
     H = w1.shape[1]
-    TR = _tile_rows(N, H, 24)
+    TR = tr
+    assert N % TR == 0, (N, TR)
     grid = (B, N // TR)
     x_spec = pl.BlockSpec((1, TR, C), lambda b, t: (b, t, 0),
                           memory_space=pltpu.VMEM)
@@ -202,18 +231,18 @@ def _bwd_impl(x, w1, b1, w2, b2, dy, interpret):
             dw2.astype(w2.dtype), db2[0].astype(b2.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _mlp(x, w1, b1, w2, b2, interpret):
-    return _fwd_impl(x, w1, b1, w2, b2, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _mlp(x, w1, b1, w2, b2, tr, interpret):
+    return _fwd_impl(x, w1, b1, w2, b2, tr, interpret)
 
 
-def _mlp_fwd(x, w1, b1, w2, b2, interpret):
-    return _fwd_impl(x, w1, b1, w2, b2, interpret), (x, w1, b1, w2, b2)
+def _mlp_fwd(x, w1, b1, w2, b2, tr, interpret):
+    return _fwd_impl(x, w1, b1, w2, b2, tr, interpret), (x, w1, b1, w2, b2)
 
 
-def _mlp_bwd(interpret, res, dy):
+def _mlp_bwd(tr, interpret, res, dy):
     x, w1, b1, w2, b2 = res
-    return _bwd_impl(x, w1, b1, w2, b2, dy, interpret)
+    return _bwd_impl(x, w1, b1, w2, b2, dy, tr, interpret)
 
 
 _mlp.defvjp(_mlp_fwd, _mlp_bwd)
@@ -229,11 +258,11 @@ def fused_mlp(
     interpret: bool = False,
 ) -> jnp.ndarray:
     B, N, C = x.shape
-    TR = _tile_rows(N, w1.shape[1], 6)
+    TR = _tile_rows(N, w1.shape[1], _BWD_HIDDEN_BYTES)
     pad = -N % TR
     if pad:  # outside the custom_vjp: padded rows carry zero cotangent
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-    out = _mlp(x, w1, b1, w2, b2, interpret)
+    out = _mlp(x, w1, b1, w2, b2, TR, interpret)
     return out[:, :N] if pad else out
 
 
@@ -366,10 +395,11 @@ def _ln_specs(B, N, C, H, TR):
     return x_spec, w_spec
 
 
-def _ln_fwd_impl(x, g, be, w1, b1, w2, b2, eps, interpret):
+def _ln_fwd_impl(x, g, be, w1, b1, w2, b2, eps, tr, interpret):
     B, N, C = x.shape
     H = w1.shape[1]
-    TR = _tile_rows(N, H, 6)
+    TR = _fwd_tile(N, H, tr)
+    assert N % TR == 0, (N, TR)
     x_spec, w_spec = _ln_specs(B, N, C, H, TR)
     return pl.pallas_call(
         functools.partial(_ln_fwd_kernel, eps=eps),
@@ -383,10 +413,11 @@ def _ln_fwd_impl(x, g, be, w1, b1, w2, b2, eps, interpret):
       b2.reshape(1, C))
 
 
-def _ln_bwd_impl(x, g, be, w1, b1, w2, b2, dy, eps, interpret):
+def _ln_bwd_impl(x, g, be, w1, b1, w2, b2, dy, eps, tr, interpret):
     B, N, C = x.shape
     H = w1.shape[1]
-    TR = _tile_rows(N, H, 24)
+    TR = tr
+    assert N % TR == 0, (N, TR)
     x_spec, w_spec = _ln_specs(B, N, C, H, TR)
     outs = pl.pallas_call(
         functools.partial(_ln_bwd_kernel, eps=eps),
@@ -413,19 +444,19 @@ def _ln_bwd_impl(x, g, be, w1, b1, w2, b2, dy, eps, interpret):
             dw2.astype(w2.dtype), db2[0].astype(b2.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _ln_mlp(x, g, be, w1, b1, w2, b2, eps, interpret):
-    return _ln_fwd_impl(x, g, be, w1, b1, w2, b2, eps, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _ln_mlp(x, g, be, w1, b1, w2, b2, eps, tr, interpret):
+    return _ln_fwd_impl(x, g, be, w1, b1, w2, b2, eps, tr, interpret)
 
 
-def _ln_mlp_fwd(x, g, be, w1, b1, w2, b2, eps, interpret):
-    return (_ln_fwd_impl(x, g, be, w1, b1, w2, b2, eps, interpret),
+def _ln_mlp_fwd(x, g, be, w1, b1, w2, b2, eps, tr, interpret):
+    return (_ln_fwd_impl(x, g, be, w1, b1, w2, b2, eps, tr, interpret),
             (x, g, be, w1, b1, w2, b2))
 
 
-def _ln_mlp_bwd(eps, interpret, res, dy):
+def _ln_mlp_bwd(eps, tr, interpret, res, dy):
     x, g, be, w1, b1, w2, b2 = res
-    return _ln_bwd_impl(x, g, be, w1, b1, w2, b2, dy, eps, interpret)
+    return _ln_bwd_impl(x, g, be, w1, b1, w2, b2, dy, eps, tr, interpret)
 
 
 _ln_mlp.defvjp(_ln_mlp_fwd, _ln_mlp_bwd)
@@ -437,11 +468,11 @@ def fused_ln_mlp(x, g, be, w1, b1, w2, b2, eps: float = 1e-6,
     """fc2(gelu(fc1(LN(x)))) with LN and the hidden tensor in VMEM.
     The residual add / drop-path stays with the caller."""
     B, N, C = x.shape
-    TR = _tile_rows(N, w1.shape[1], 6)
+    TR = _tile_rows(N, w1.shape[1], _BWD_HIDDEN_BYTES)
     pad = -N % TR
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-    out = _ln_mlp(x, g, be, w1, b1, w2, b2, eps, interpret)
+    out = _ln_mlp(x, g, be, w1, b1, w2, b2, eps, TR, interpret)
     return out[:, :N] if pad else out
 
 

@@ -109,19 +109,46 @@ def _tile(nq: int, nk: int, score_bytes: int) -> int:
         for t in [pref, 512, 256, 128]:
             if nq % t == 0:
                 return t
-        return min(nq, pref)
+        # no divisor: caller pads Nq up to a multiple of the tile
+        return min(pref, -(-nq // 128) * 128)
     budget = int(os.environ.get("MSPI_ATTN_VMEM_BUDGET", 8 * 1024 * 1024))
     fits = [t for t in (512, 256, 128) if t * nk * score_bytes <= budget]
     for t in fits or [128]:
         if nq % t == 0:
             return t
-    return min(nq, (fits or [128])[0])
+    return min((fits or [128])[0], -(-nq // 128) * 128)
 
 
-def _fwd_impl(q, k, v, interpret):
+# Tile contract: Nq is padded to a multiple of the BACKWARD tile (the
+# larger ~20 B/score footprint), and the forward runs a tile that is a
+# multiple of it (its ~8 B footprint usually affords a bigger one), so both
+# grids exactly cover the padded Nq.  Independent fwd/bwd tile choices
+# silently truncated the bwd grid when they diverged (e.g. Nq=200, Nk=2000:
+# fwd TQ=200, bwd TQ=128 -> tail dq rows uninitialized).
+_BWD_SCORE_BYTES = 20
+_FWD_SCORE_BYTES = 8
+
+
+def _fwd_tile(nq: int, nk: int, tq_bwd: int) -> int:
+    """Largest multiple of the bwd tile that divides (padded) nq and fits
+    the forward VMEM budget."""
+    import os
+
+    budget = int(os.environ.get("MSPI_ATTN_VMEM_BUDGET", 8 * 1024 * 1024))
+    best = tq_bwd
+    t = tq_bwd
+    while t <= min(nq, 512):
+        if nq % t == 0 and t * nk * _FWD_SCORE_BYTES <= budget:
+            best = t
+        t += tq_bwd
+    return best
+
+
+def _fwd_impl(q, k, v, tq, interpret):
     B, H, Nq, Da = q.shape
     Nk, Dv = k.shape[2], v.shape[3]
-    TQ = _tile(Nq, Nk, 8)
+    TQ = _fwd_tile(Nq, Nk, tq)
+    assert Nq % TQ == 0, (Nq, TQ)
     grid = (B, H, Nq // TQ)
     q_spec = pl.BlockSpec((1, 1, TQ, Da), lambda b, h, t: (b, h, t, 0),
                           memory_space=pltpu.VMEM)
@@ -138,10 +165,11 @@ def _fwd_impl(q, k, v, interpret):
     )(q, k, v)
 
 
-def _bwd_impl(q, k, v, do, interpret):
+def _bwd_impl(q, k, v, do, tq, interpret):
     B, H, Nq, Da = q.shape
     Nk, Dv = k.shape[2], v.shape[3]
-    TQ = _tile(Nq, Nk, 20)
+    TQ = tq
+    assert Nq % TQ == 0, (Nq, TQ)
     grid = (B, H, Nq // TQ)
     q_spec = pl.BlockSpec((1, 1, TQ, Da), lambda b, h, t: (b, h, t, 0),
                           memory_space=pltpu.VMEM)
@@ -156,26 +184,29 @@ def _bwd_impl(q, k, v, do, interpret):
         out_specs=[q_spec, kv_spec(Da), kv_spec(Dv)],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, Nq, Da), q.dtype),
-            jax.ShapeDtypeStruct((B, H, Nk, Da), k.dtype),
-            jax.ShapeDtypeStruct((B, H, Nk, Dv), v.dtype),
+            # dk/dv accumulate across all q-tiles — keep the running sum in
+            # fp32 (bf16 storage would round the partial sum every step;
+            # ~336 sequential roundings at flagship stage 1) and cast once.
+            jax.ShapeDtypeStruct((B, H, Nk, Da), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Nk, Dv), jnp.float32),
         ],
         interpret=interpret,
     )(q, k, v, do)
-    return dq, dk, dv
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _attention(q, k, v, interpret):
-    return _fwd_impl(q, k, v, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _attention(q, k, v, tq, interpret):
+    return _fwd_impl(q, k, v, tq, interpret)
 
 
-def _attention_fwd(q, k, v, interpret):
-    return _fwd_impl(q, k, v, interpret), (q, k, v)
+def _attention_fwd(q, k, v, tq, interpret):
+    return _fwd_impl(q, k, v, tq, interpret), (q, k, v)
 
 
-def _attention_bwd(interpret, res, do):
+def _attention_bwd(tq, interpret, res, do):
     q, k, v = res
-    return _bwd_impl(q, k, v, do, interpret)
+    return _bwd_impl(q, k, v, do, tq, interpret)
 
 
 _attention.defvjp(_attention_fwd, _attention_bwd)
@@ -192,9 +223,9 @@ def fused_attention(
     size here (outside the custom_vjp, so padded rows carry zero cotangent
     and contribute nothing to dk/dv)."""
     B, H, Nq, _ = q.shape
-    TQ = _tile(Nq, k.shape[2], 8)
+    TQ = _tile(Nq, k.shape[2], _BWD_SCORE_BYTES)
     pad = -Nq % TQ
     if pad:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
-    out = _attention(q, k, v, interpret)
+    out = _attention(q, k, v, TQ, interpret)
     return out[:, :, :Nq] if pad else out

@@ -71,7 +71,9 @@ def sync_batchnorm(momentum: float = 0.1, epsilon: float = 1e-5,
 
     Matches the torch-converter conventions of ops.layers.batchnorm
     (momentum flip: torch momentum m == flax momentum 1-m)."""
+    from mspi_tpu.ops.layers import default_compute_dtype
+
     return nn.BatchNorm(
         use_running_average=None, momentum=1.0 - momentum, epsilon=epsilon,
-        axis_name=axis_name, name=name,
+        axis_name=axis_name, name=name, dtype=default_compute_dtype(),
         scale_init=nn.initializers.ones, bias_init=nn.initializers.zeros)

@@ -351,3 +351,76 @@ def test_fused_pooled_attention_shrunk_tile_parity(rng, monkeypatch):
         _ref_attention(q, k, v) * w), argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_f, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_fused_mlp_bwd_tile_matches_fwd_tile(rng):
+    """Regression (advisor r2): fwd and bwd must use the SAME row tile.
+    N=200, H=2048 used to give fwd TR=200 / bwd TR=128 -> the bwd grid
+    truncated and dx rows 128-199 came back uninitialized (NaN on device)
+    with ~50% of dw1 dropped."""
+    B, N, C, H = 1, 200, 64, 2048
+    x = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32) * 0.2)
+    w1 = jnp.asarray(rng.standard_normal((C, H)).astype(np.float32) * 0.05)
+    b1 = jnp.zeros((H,), np.float32)
+    w2 = jnp.asarray(rng.standard_normal((H, C)).astype(np.float32) * 0.05)
+    b2 = jnp.zeros((C,), np.float32)
+    wgt = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32))
+
+    g_f = jax.grad(lambda *a: jnp.sum(fused_mlp(*a, interpret=True) * wgt),
+                   argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    g_r = jax.grad(lambda *a: jnp.sum(_ref_mlp(*a) * wgt),
+                   argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, b in zip(g_f, g_r):
+        assert np.all(np.isfinite(np.asarray(a)))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=1e-3)
+
+
+def test_fused_ln_mlp_bwd_tile_matches_fwd_tile(rng):
+    """Same regression for the LN+MLP variant (advisor r2, mlp.py:389)."""
+    from mspi_tpu.ops.pallas.mlp import fused_ln_mlp
+
+    B, N, C, H = 1, 200, 64, 2048
+    x = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32))
+    g = jnp.asarray(1.0 + 0.1 * rng.standard_normal(C).astype(np.float32))
+    be = jnp.zeros((C,), np.float32)
+    w1 = jnp.asarray(rng.standard_normal((C, H)).astype(np.float32) * 0.05)
+    b1 = jnp.zeros((H,), np.float32)
+    w2 = jnp.asarray(rng.standard_normal((H, C)).astype(np.float32) * 0.05)
+    b2 = jnp.zeros((C,), np.float32)
+    wgt = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32))
+
+    dx = jax.grad(lambda x_: jnp.sum(fused_ln_mlp(
+        x_, g, be, w1, b1, w2, b2, eps=1e-6, interpret=True) * wgt))(x)
+    assert np.all(np.isfinite(np.asarray(dx)))
+
+    def ref(x_):
+        from mspi_tpu.ops import gelu
+
+        mu = x_.mean(-1, keepdims=True)
+        var = (x_ * x_).mean(-1, keepdims=True) - mu * mu
+        z = (x_ - mu) * jax.lax.rsqrt(var + 1e-6) * g + be
+        return gelu(z @ w1 + b1) @ w2 + b2
+
+    dx_r = jax.grad(lambda x_: jnp.sum(ref(x_) * wgt))(x)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_r),
+                               atol=5e-3, rtol=1e-3)
+
+
+def test_fused_attention_bwd_tile_matches_fwd_tile(rng):
+    """Regression (advisor r2, pooled_attention.py): Nq=200, Nk=2000 used to
+    give fwd TQ=200 / bwd TQ=128 -> truncated bwd grid, dq rows 128+ NaN."""
+    B, H, Nq, Nk, D = 1, 1, 200, 2000, 32
+    q = jnp.asarray(rng.standard_normal((B, H, Nq, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, Nk, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, Nk, D)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((B, H, Nq, D)).astype(np.float32))
+
+    g_f = jax.grad(lambda q, k, v: jnp.sum(
+        fused_attention(q, k, v, interpret=True) * w), argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(lambda q, k, v: jnp.sum(
+        _ref_attention(q, k, v) * w), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_f, g_r):
+        assert np.all(np.isfinite(np.asarray(a)))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-4)
