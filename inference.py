@@ -160,7 +160,8 @@ def main():
 
     @jax.jit
     def forward(clips_u8, audio):
-        clips = normalize_clip_jax(clips_u8)
+        clips = normalize_clip_jax(clips_u8,
+                                   jnp.bfloat16 if args.bf16 else None)
         if args.use_sound:
             out, _ = model.apply(variables, clips, audio, train=False)
         else:

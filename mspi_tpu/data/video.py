@@ -51,10 +51,17 @@ def normalize_frames(frames: np.ndarray) -> np.ndarray:
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 
 
-def normalize_clip_jax(frames: jnp.ndarray) -> jnp.ndarray:
-    """Fused on-device normalisation: uint8 [B,T,H,W,3] -> float32."""
+def normalize_clip_jax(frames: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """Fused on-device normalisation: uint8 [B,T,H,W,3] -> float.
+
+    The arithmetic is fp32 (exact host parity: normalize_frames above); pass
+    ``dtype=jnp.bfloat16`` to emit the model's compute dtype directly so XLA
+    writes one bf16 tensor instead of materialising an fp32 copy that the
+    first conv immediately re-casts (the profiled host-input convert copy).
+    """
     x = frames.astype(jnp.float32) / 255.0
-    return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    return x if dtype is None else x.astype(dtype)
 
 
 def load_gt_map(path: str, size: Tuple[int, int]) -> np.ndarray:

@@ -49,31 +49,46 @@ _ERF_COEF = (
 )
 
 
-def _erf(x):
+# degree-8 fit of the same function — |erf err| <= 7.7e-4, an order of
+# magnitude below bf16 rounding (eps 2^-8 ~ 3.9e-3), at half the FMA chain.
+# The GELU polynomial is the measured bound of the fused LN+MLP kernel
+# (tools/bench_lnmlp.py r3: matmul floor 1.54 ms, +LN 1.82 ms, +deg-16
+# GELU 3.53 ms at the ConvNeXt stage-0 shape), so bf16 pipelines take the
+# cheap fit; fp32 keeps the 2e-7 one.
+_ERF_COEF_FAST = (
+    3.536022699613e-01, -1.745360228158e-01, 1.282262975445e-01,
+    -1.335568183591e-01, 1.164849409594e-01, 1.073632742169e-02,
+    -7.948334927669e-03, -1.415578021638e-01, 9.874117476355e-02,
+)
+
+
+def _erf(x, fast: bool = False):
     """erf as a pure-FMA odd polynomial: z*P((z^2-8)/8) on |z|<=4, clamped
     beyond (erf(4) = 1 - 1.5e-8).  |err| <= 2e-7 in fp32 Horner — same
     accuracy class as the Abramowitz-Stegun 7.1.26 rational it replaces
     (torch-parity GELU needs erf, not the tanh approximation; Pallas TPU
     has no erf lowering), but with no divide and no exp: the A-S divide
     alone cost ~1.6 ms per ConvNeXt stage-0 call on the VPU (measured
-    r2 — transcendentals, not DMA or MXU, bounded this kernel)."""
+    r2 — transcendentals, not DMA or MXU, bounded this kernel).  With
+    fast=True the degree-8 fit is used (bf16-precision pipelines)."""
+    coef = _ERF_COEF_FAST if fast else _ERF_COEF
     z = jnp.clip(x, -4.0, 4.0)
     u = z * z * 0.125 - 1.0
-    r = _ERF_COEF[-1]
-    for c in _ERF_COEF[-2::-1]:
+    r = coef[-1]
+    for c in coef[-2::-1]:
         r = r * u + c
     return z * r
 
 
-def _gelu_f32(u):
-    return 0.5 * u * (1.0 + _erf(u * _INV_SQRT2))
+def _gelu_f32(u, fast: bool = False):
+    return 0.5 * u * (1.0 + _erf(u * _INV_SQRT2, fast))
 
 
 def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
     x = x_ref[0]                      # [TR, C] storage dtype
     u = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
     u = u + b1_ref[0].astype(jnp.float32)
-    h = _gelu_f32(u).astype(x.dtype)
+    h = _gelu_f32(u, fast=x.dtype == jnp.bfloat16).astype(x.dtype)
     y = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
     y = y + b2_ref[0].astype(jnp.float32)
     out_ref[0] = y.astype(out_ref.dtype)
@@ -87,9 +102,10 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, dy_ref,
 
     u = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
     u = u + b1_ref[0].astype(jnp.float32)
-    h = _gelu_f32(u)
+    fast = x.dtype == jnp.bfloat16
+    h = _gelu_f32(u, fast)
     # d/du gelu(u) = Phi(u) + u * phi(u)
-    dgelu = 0.5 * (1.0 + _erf(u * _INV_SQRT2)) \
+    dgelu = 0.5 * (1.0 + _erf(u * _INV_SQRT2, fast)) \
         + u * _INV_SQRT2PI * jnp.exp(-0.5 * u * u)
 
     dy_c = dy.astype(x.dtype)
@@ -317,7 +333,7 @@ def _ln_fwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     z = z.astype(x.dtype)
     u = jnp.dot(z, w1_ref[...], preferred_element_type=jnp.float32)
     u = u + b1_ref[0].astype(jnp.float32)
-    h = _gelu_f32(u).astype(x.dtype)
+    h = _gelu_f32(u, fast=x.dtype == jnp.bfloat16).astype(x.dtype)
     y = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
     y = y + b2_ref[0].astype(jnp.float32)
     out_ref[0] = y.astype(out_ref.dtype)
@@ -335,8 +351,9 @@ def _ln_bwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     z_c = z.astype(x.dtype)
     u = jnp.dot(z_c, w1_ref[...], preferred_element_type=jnp.float32)
     u = u + b1_ref[0].astype(jnp.float32)
-    h = _gelu_f32(u)
-    dgelu = 0.5 * (1.0 + _erf(u * _INV_SQRT2)) \
+    fast = x.dtype == jnp.bfloat16
+    h = _gelu_f32(u, fast)
+    dgelu = 0.5 * (1.0 + _erf(u * _INV_SQRT2, fast)) \
         + u * _INV_SQRT2PI * jnp.exp(-0.5 * u * u)
 
     dy_c = dy.astype(x.dtype)

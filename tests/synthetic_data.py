@@ -7,7 +7,7 @@ import numpy as np
 
 
 def build_avsp_tree(root, datasets=(("AVAD", "v1"), ("DIEM", "d1")),
-                    n_frames=40, fps=25.0, size=(48, 64), seed=0):
+                    n_frames=40, fps=25.0, size=(48, 64), seed=0, sr=8000):
     rng = np.random.default_rng(seed)
     from PIL import Image
     import scipy.io
@@ -30,12 +30,12 @@ def build_avsp_tree(root, datasets=(("AVAD", "v1"), ("DIEM", "d1")),
             scipy.io.savemat(os.path.join(fix_dir, f"fixMap_{i:05d}.mat"),
                              {"eyeMap": fix})
         # audio long enough to cover every video window (duration = frames/fps)
-        n_samples = max(16000, int(8000 * (n_frames / fps + 1.0)))
+        n_samples = max(16000, int(sr * (n_frames / fps + 1.0)))
         wav = (rng.standard_normal(n_samples) * 3000).astype(np.int16)
         with wave.open(os.path.join(audio_dir, f"{video}.wav"), "wb") as w:
             w.setnchannels(1)
             w.setsampwidth(2)
-            w.setframerate(8000)
+            w.setframerate(sr)
             w.writeframes(wav.tobytes())
     # fold lists grouped per dataset (multiple videos of one dataset get
     # one line each, not an overwrite)

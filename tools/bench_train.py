@@ -89,12 +89,42 @@ def main():
     float(jnp.sum(jax.tree.leaves(s3.params)[0]))
     dt_1 = time.perf_counter() - t0
     per_step = max((dt_n - dt_1) / args.iters, 1e-9)
+
+    # FLOPs / MFU of the full train step via the Pallas-disabled twin
+    # program (custom kernels are invisible to XLA's FLOP counter; the jnp
+    # fallback computes the same math) — same method as bench.py.
+    flops_per_clip = mfu = None
+    try:
+        from mspi_tpu.utils.profiling import cost_analysis
+
+        def one_step(state, batch):
+            os.environ["MSPI_DISABLE_PALLAS"] = "1"
+            try:
+                new_st, metrics = body_fn(state, batch, 1e-4)
+            finally:
+                os.environ.pop("MSPI_DISABLE_PALLAS", None)
+            return metrics["loss"]
+
+        flops = cost_analysis(one_step, state, batch).get("flops", 0.0)
+        if flops:
+            flops_per_clip = flops / args.batch
+            kind = jax.devices()[0].device_kind.lower()
+            peak = 197e12 if "v5" in kind else 275e12 if "v6" in kind else None
+            if peak and args.dtype == "bfloat16":
+                mfu = (args.batch / per_step) * flops_per_clip / peak
+            elif peak:  # fp32 runs at half the bf16 MXU rate
+                mfu = (args.batch / per_step) * flops_per_clip / (peak / 2)
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": f"AVSP train clips/sec/chip ({args.backbone}, 16x{h}x{w}, batch {args.batch}, {args.dtype})",
         "value": round(args.batch / per_step, 3),
         "unit": "clips/sec/chip",
         "steps_per_sec": round(1.0 / per_step, 3),
         "compile_s": round(compile_s, 1),
+        "gflops_per_clip": round(flops_per_clip / 1e9, 1) if flops_per_clip else None,
+        "mfu_vs_peak": round(mfu, 4) if mfu else None,
     }))
 
 

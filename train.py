@@ -165,7 +165,9 @@ def main():
         out = {"gt": b_shard(jnp.asarray(batch["gt"]))}
         clips = jnp.asarray(batch["clips"])
         if clips.dtype == jnp.uint8:
-            clips = normalize_clip_jax(b_shard(clips))
+            clips = normalize_clip_jax(
+                b_shard(clips),
+                jnp.bfloat16 if args.bf16 else None)
         else:
             clips = b_shard(clips)
         out["clips"] = clips
