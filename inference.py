@@ -36,9 +36,12 @@ def parse_args():
     parser.add_argument("--window_batch", default=8, type=int)
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute for the backbone hot path")
-    parser.add_argument("--device_post", action="store_true",
+    parser.add_argument("--device_post", default=True,
+                        action=argparse.BooleanOptionalAction,
                         help="run blur/exp/resize/minmax on the device "
-                             "(batched) instead of per-map cv2 on the host")
+                             "(batched) instead of per-map cv2 on the host "
+                             "(default on; --no-device_post for the cv2 path; "
+                             "parity within one uint8 step, -27%% wall)")
     parser.add_argument("--audio_len_snippet", default=32, type=int,
                         help="audio window length in frames; the reference's "
                              "get_audio_feature defaults to 32 even for 16-frame "
@@ -97,10 +100,19 @@ def make_device_post(img_size=(640, 480)):
     @jax.jit
     def post2(pred):
         B, hh, ww = pred.shape
-        p = jnp.pad(pred, ((0, 0), (5, 5), (5, 5)), mode="reflect")
-        p = jnp.einsum("hH,bHw->bhw", band(hh), p)
-        p = jnp.einsum("wW,bhW->bhw", band(ww), p)
-        p = jnp.exp(p)
+        # The preds are log-densities: mean ~= log(1/(h*w)) ~= -11 with a
+        # total dynamic range of ~0.03, so the whole signal sits below one
+        # bf16 ulp at that offset.  TPU matmuls truncate fp32 operands to
+        # bf16 at default precision — the banded-blur einsums MUST run at
+        # Precision.HIGHEST, and mean-centering keeps them well-conditioned
+        # regardless (blur with a normalized kernel + reflect pad maps
+        # constants to themselves, so this is exact).
+        mean = pred.mean(axis=(1, 2), keepdims=True)
+        p = jnp.pad(pred - mean, ((0, 0), (5, 5), (5, 5)), mode="reflect")
+        hi = jax.lax.Precision.HIGHEST
+        p = jnp.einsum("hH,bHw->bhw", band(hh), p, precision=hi)
+        p = jnp.einsum("wW,bhW->bhw", band(ww), p, precision=hi)
+        p = jnp.exp(p + mean)
         p = resize_to(p, [img_size[1], img_size[0]], [1, 2])
         mn = p.min(axis=(1, 2), keepdims=True)
         mx = p.max(axis=(1, 2), keepdims=True)
@@ -199,23 +211,41 @@ def main():
                 clip = clip[::-1]
             return clip, aud[..., None]
 
-        for b0 in range(0, len(jobs), args.window_batch):
-            chunk = jobs[b0:b0 + args.window_batch]
+        def prep_chunk(chunk):
             pad = args.window_batch - len(chunk)
             inputs = [make_inputs(j) for j in chunk]
             clips = np.stack([c for c, _ in inputs] + [inputs[-1][0]] * pad)
             auds = np.stack([a for _, a in inputs] + [inputs[-1][1]] * pad)
-            preds_dev = forward(jnp.asarray(clips), jnp.asarray(auds))
-            if args.device_post:
-                pngs = np.asarray(device_post(preds_dev))
-                for (s, flipped, out_idx), png in zip(chunk, pngs):
-                    cv2.imwrite(os.path.join(out_dir,
-                                             os.path.basename(list_frames[out_idx])), png)
-            else:
-                preds = np.asarray(preds_dev)
-                for (s, flipped, out_idx), pred in zip(chunk, preds):
-                    png = blur_exp_resize(pred)
-                    cv2.imwrite(os.path.join(out_dir, os.path.basename(list_frames[out_idx])), png)
+            return clips, auds
+
+        def write_chunk(chunk, maps_dev, device_posted):
+            # D2H transfer happens on this thread, overlapped with the next
+            # chunk's device compute
+            maps = np.asarray(maps_dev)
+            for (s, flipped, out_idx), m in zip(chunk, maps):
+                png = m if device_posted else blur_exp_resize(m)
+                cv2.imwrite(os.path.join(out_dir,
+                                         os.path.basename(list_frames[out_idx])), png)
+
+        # 3-stage software pipeline on this host: input assembly (thread) ->
+        # device forward(+post) (async dispatch) -> D2H + imwrite (thread)
+        from concurrent.futures import ThreadPoolExecutor
+
+        chunks = [jobs[b0:b0 + args.window_batch]
+                  for b0 in range(0, len(jobs), args.window_batch)]
+        with ThreadPoolExecutor(1) as prep, ThreadPoolExecutor(2) as writer:
+            nxt = prep.submit(prep_chunk, chunks[0])
+            pending = []
+            for ci, chunk in enumerate(chunks):
+                clips, auds = nxt.result()
+                if ci + 1 < len(chunks):
+                    nxt = prep.submit(prep_chunk, chunks[ci + 1])
+                preds_dev = forward(jnp.asarray(clips), jnp.asarray(auds))
+                maps_dev = device_post(preds_dev) if args.device_post else preds_dev
+                pending.append(writer.submit(write_chunk, chunk, maps_dev,
+                                             args.device_post))
+            for f in pending:
+                f.result()
 
 
 if __name__ == "__main__":

@@ -25,6 +25,7 @@ the weight converter in mspi_tpu/convert is then fully mechanical.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
@@ -223,12 +224,61 @@ def avg_pool(
     return summed / math.prod(kernel)
 
 
+def _upsample_int_axis(x: jnp.ndarray, s: int, ax: int) -> jnp.ndarray:
+    """Exact half-pixel linear upsample by integer factor `s` along `ax`.
+
+    For dst = s*k + r the source coordinate is k + f with
+    f = (r+0.5)/s - 0.5 in (-0.5, 0.5), so each output phase r is a fixed
+    2-tap blend of x with its edge-clamped +-1 shift.  Weights are exact
+    binary fractions for power-of-2 s, so this matches the separable
+    formula torch uses (Upsample align_corners=False, reference
+    model_utils.py:486-488) to fp32 rounding.
+
+    MEASURED NULL (r3, flagship TPU A/B): the stack+reshape interleave
+    costs ~7 ms/iter in layout copies — MORE than the dense [out, in]
+    dot_generals jax.image.resize emits (51.8 -> 49.6 clips/s).  Gated
+    behind MSPI_STENCIL_RESIZE=1 for future re-measurement; the default
+    stays on jax.image.resize.
+    """
+    n = x.shape[ax]
+    x_lo = jax.lax.concatenate(
+        [jax.lax.slice_in_dim(x, 0, 1, axis=ax),
+         jax.lax.slice_in_dim(x, 0, n - 1, axis=ax)], ax)
+    x_hi = jax.lax.concatenate(
+        [jax.lax.slice_in_dim(x, 1, n, axis=ax),
+         jax.lax.slice_in_dim(x, n - 1, n, axis=ax)], ax)
+    phases = []
+    for r in range(s):
+        f = (r + 0.5) / s - 0.5
+        if f < 0:
+            phases.append((-f) * x_lo.astype(jnp.float32)
+                          + (1.0 + f) * x.astype(jnp.float32))
+        elif f == 0:
+            phases.append(x.astype(jnp.float32))
+        else:
+            phases.append((1.0 - f) * x.astype(jnp.float32)
+                          + f * x_hi.astype(jnp.float32))
+    stacked = jnp.stack(phases, axis=ax + 1)
+    out_shape = x.shape[:ax] + (n * s,) + x.shape[ax + 1:]
+    return stacked.reshape(out_shape).astype(x.dtype)
+
+
 def resize_linear(x: jnp.ndarray, scale: Sequence[float], axes: Sequence[int]) -> jnp.ndarray:
     """Half-pixel linear resize of the given axes by the given scale factors.
 
     Matches torch nn.Upsample(mode='bilinear'/'trilinear', align_corners=False)
     (used throughout the decoder, reference model_utils.py:486-488).
+    MSPI_STENCIL_RESIZE=1 routes integer upscale factors through the
+    elementwise stencil path (measured slower on TPU — see
+    _upsample_int_axis — kept for re-measurement on future hardware).
     """
+    if (os.environ.get("MSPI_STENCIL_RESIZE") == "1"
+            and all(float(s).is_integer() and s >= 1 for s in scale)):
+        out = x
+        for s, ax in zip(scale, axes):
+            if int(s) != 1:
+                out = _upsample_int_axis(out, int(s), ax)
+        return out
     shape = list(x.shape)
     for s, ax in zip(scale, axes):
         shape[ax] = int(math.floor(shape[ax] * s))

@@ -146,6 +146,32 @@ def test_bilinear_upsample_parity(rng):
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
 
 
+def test_upsample_stencil_matches_dense_resize(rng, monkeypatch):
+    # The integer-factor stencil path (MSPI_STENCIL_RESIZE=1; measured
+    # slower on the flagship TPU program, kept gated for re-measurement)
+    # must agree with jax.image.resize's dense dot_general formulation
+    # (which the torch-parity tests above pin) on odd sizes and mixed
+    # factors, including the gradient.
+    monkeypatch.setenv("MSPI_STENCIL_RESIZE", "1")
+    x = rng.standard_normal((2, 3, 5, 9, 4)).astype(np.float32)
+    xj = jnp.array(x)
+    for sf, axes in [((1, 2, 2), (1, 2, 3)), ((2, 4, 4), (1, 2, 3)),
+                     ((8, 8), (2, 3)), ((3, 3), (2, 3))]:
+        shape = list(x.shape)
+        for s, ax in zip(sf, axes):
+            shape[ax] = shape[ax] * s
+        want = jax.image.resize(xj, tuple(shape), method="linear",
+                                antialias=False)
+        got = L.resize_linear(xj, sf, axes)
+        np.testing.assert_allclose(np.array(got), np.array(want),
+                                   atol=2e-6, rtol=1e-6)
+    # gradient of the stencil path (training uses it in the decoder)
+    g = jax.grad(lambda y: jnp.sum(L.resize_linear(y, (2, 2), (2, 3)) ** 2))(xj)
+    gref = jax.grad(lambda y: jnp.sum(jax.image.resize(
+        y, (2, 3, 10, 18, 4), method="linear", antialias=False) ** 2))(xj)
+    np.testing.assert_allclose(np.array(g), np.array(gref), atol=1e-5)
+
+
 def test_gelu_exact(rng):
     x = rng.standard_normal(64).astype(np.float32) * 3
     ref = F.gelu(torch.tensor(x)).numpy()  # torch default = exact erf
