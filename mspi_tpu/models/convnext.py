@@ -48,7 +48,12 @@ class ConvNeXtBlock2d(nn.Module):
         y = maybe_fused_ln_mlp(self.norm, self.mlp, x)
         if y is None:
             y = self.mlp(self.norm(x))
-        return shortcut + self.gamma * y
+        # gamma is an fp32 param: cast to the activation dtype or the
+        # multiply promotes the residual stream to fp32 — which silently ran
+        # the ENTIRE prior (18 blocks of DW convs, LN+MLP, copies) in fp32
+        # under --bf16 (r3 profile: ~7 ms/iter fp32 DW conv + 3 ms/iter
+        # layout copies at stage 0 alone).
+        return shortcut + self.gamma.astype(y.dtype) * y
 
 
 class Mlp2d(nn.Module):

@@ -121,7 +121,8 @@ class MaskedMViT(nn.Module):
         # replace masked patches with the mask token in input space
         up_mask = jnp.repeat(jnp.repeat(jnp.repeat(mask, reps[0], 1),
                                         reps[1], 2), reps[2], 3)
-        masked_clips = jnp.where(up_mask[..., None], self.mask_token, clips)
+        masked_clips = jnp.where(up_mask[..., None],
+                                 self.mask_token.astype(clips.dtype), clips)
 
         feats = self.backbone(masked_clips, train=train)
         x = feats[-1]  # [B, T/2, H/32, W/32, 768]

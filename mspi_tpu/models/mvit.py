@@ -163,12 +163,17 @@ def augment_for_fused_attn(q, k, q_shape, k_shape, scale,
     B, H, _, _ = q.shape
     cols = [q * scale]
     rows = []
+    # The rel-pos tables are fp32 params, so the projections come out fp32;
+    # cast back to q.dtype before concat or q_aug promotes to fp32 and the
+    # fused kernel's matmuls lose the bf16 MXU rate (scores still accumulate
+    # fp32 inside the kernel).
     if rel_pos_t is not None:
-        cols.append(rel_proj_temporal(q, q_shape, k_shape, rel_pos_t))
+        cols.append(rel_proj_temporal(q, q_shape, k_shape, rel_pos_t)
+                    .astype(q.dtype))
         rows.append(_onehot_rows("t", k_shape))
     if rel_pos_h is not None:
         rh, rw = rel_proj_spatial(q, q_shape, k_shape, rel_pos_h, rel_pos_w)
-        cols += [rh, rw]
+        cols += [rh.astype(q.dtype), rw.astype(q.dtype)]
         rows += [_onehot_rows("h", k_shape), _onehot_rows("w", k_shape)]
     q_aug = jnp.concatenate(cols, axis=-1)
     if not rows:

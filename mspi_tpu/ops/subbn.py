@@ -36,7 +36,9 @@ class SubBatchNorm(nn.Module):
             m = mean.value.mean(axis=0)
             v = (var.value + mean.value ** 2).mean(axis=0) - m ** 2
             y = (x - m) * jax.lax.rsqrt(v + self.epsilon)
-            return y * scale + bias
+            # stats/scale are fp32 params — cast the result back so bf16
+            # activation streams stay bf16 downstream
+            return (y * scale + bias).astype(x.dtype)
 
         B = x.shape[0]
         assert B % self.num_splits == 0, (B, self.num_splits)
@@ -47,7 +49,7 @@ class SubBatchNorm(nn.Module):
         v = xs.var(axis=axes)
         bshape = (self.num_splits,) + (1,) * (xs.ndim - 2) + (self.num_features,)
         y = (xs - m.reshape(bshape)) * jax.lax.rsqrt(v.reshape(bshape) + self.epsilon)
-        y = y.reshape(B, *x.shape[1:]) * scale + bias
+        y = (y.reshape(B, *x.shape[1:]) * scale + bias).astype(x.dtype)
 
         if not self.is_initializing():
             mom = self.momentum

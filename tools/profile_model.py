@@ -40,6 +40,7 @@ def summarize_trace(trace_dir: str, top: int):
                    if any(k in n for k in ("TPU", "Device", "/device"))}
     per_op = collections.Counter()
     per_cat = collections.Counter()
+    meta = {}
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
@@ -54,7 +55,17 @@ def summarize_trace(trace_dir: str, top: int):
         per_op[name] += e["dur"]
         per_cat[name.rsplit(".", 1)[0]] += e["dur"]
         total += e["dur"]
-    return per_op.most_common(top), per_cat.most_common(top), total
+        if name not in meta:
+            a = e.get("args", {})
+            src = a.get("source", "")
+            # strip site-packages noise; keep repo-relative paths
+            if "/site-packages/" in src:
+                src = src.split("/site-packages/")[-1]
+            meta[name] = {
+                "source": src,
+                "shape": a.get("shape_with_layout", "").split(":")[0],
+            }
+    return per_op.most_common(top), per_cat.most_common(top), total, meta
 
 
 def main():
@@ -105,14 +116,17 @@ def main():
     if result is None:
         print(json.dumps({"error": "no trace produced", "dir": out_dir}))
         return
-    top_ops, top_cats, total = result
+    top_ops, top_cats, total, meta = result
     print(json.dumps({"trace_dir": out_dir, "total_us": round(total, 1)}))
     print("-- by op category --")
     for name, dur in top_cats:
         print(f"{dur/1e3:10.2f} ms  {100*dur/max(total,1e-9):5.1f}%  {name[:110]}")
-    print("-- by individual op --")
+    print("-- by individual op (with HLO shape + source) --")
     for name, dur in top_ops:
-        print(f"{dur/1e3:10.2f} ms  {100*dur/max(total,1e-9):5.1f}%  {name[:110]}")
+        m = meta.get(name, {})
+        extra = " ".join(filter(None, (m.get("shape", ""), m.get("source", ""))))
+        print(f"{dur/1e3:10.2f} ms  {100*dur/max(total,1e-9):5.1f}%  "
+              f"{name[:60]}  {extra[:120]}")
 
 
 if __name__ == "__main__":
