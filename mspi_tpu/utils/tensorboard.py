@@ -127,6 +127,55 @@ def _image_value(tag: str, image: np.ndarray) -> bytes:
     return _bytes_field(1, _string_field(1, tag) + _bytes_field(4, img))
 
 
+def _render_confusion_matrix(cmtx: np.ndarray,
+                             class_names: Optional[Sequence[str]] = None,
+                             cell: int = 16) -> np.ndarray:
+    """Confusion matrix -> RGB uint8 image.
+
+    Matplotlib path mirrors the reference figure (tensorboard_vis.py:165-230):
+    Blues colormap, class-name ticks, per-cell counts colored by luminance.
+    Falls back to a dependency-free heatmap when matplotlib is unavailable.
+    """
+    cm = np.asarray(cmtx, np.float64)
+    n = cm.shape[0]
+    if class_names is None:
+        class_names = [str(i) for i in range(n)]
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(max(4.0, n * 0.5),) * 2, dpi=100)
+        im = ax.imshow(cm, interpolation="nearest", cmap="Blues")
+        fig.colorbar(im, ax=ax, fraction=0.046)
+        ax.set(xticks=np.arange(n), yticks=np.arange(n),
+               xticklabels=class_names, yticklabels=class_names,
+               ylabel="True label", xlabel="Predicted label",
+               title="Confusion Matrix")
+        plt.setp(ax.get_xticklabels(), rotation=45, ha="right")
+        thresh = cm.max() / 2.0 if cm.max() > 0 else 0.5
+        if n <= 32:  # per-cell counts unreadable beyond this
+            for i in range(n):
+                for j in range(n):
+                    ax.text(j, i, format(int(cm[i, j]), "d"), ha="center",
+                            va="center",
+                            color="white" if cm[i, j] > thresh else "black")
+        fig.tight_layout()
+        fig.canvas.draw()
+        img = np.asarray(fig.canvas.buffer_rgba())[:, :, :3].copy()
+        plt.close(fig)
+        return img
+    except ImportError:
+        denom = cm.max() if cm.max() > 0 else 1.0
+        norm = cm / denom
+        r = np.clip(norm * 2.0 - 0.5, 0, 1)
+        g = np.clip(norm * 1.5, 0, 1)
+        b = np.clip(1.0 - norm, 0, 1)
+        img = (np.stack([r, g, b], -1) * 255).astype(np.uint8)
+        return np.repeat(np.repeat(img, cell, 0), cell, 1)
+
+
 def _event(step: int, summary_values: bytes = b"",
            file_version: Optional[str] = None,
            wall_time: Optional[float] = None) -> bytes:
@@ -182,17 +231,12 @@ class SummaryWriter:
     def add_confusion_matrix(self, tag: str, cmtx: np.ndarray, step: int,
                              class_names: Optional[Sequence[str]] = None,
                              cell: int = 16):
-        """Render a confusion matrix as an image summary
-        (tensorboard_vis.py plot_confusion_matrix equivalent, matplotlib-free:
-        a viridis-ish heatmap upscaled to cell pixels per entry)."""
-        cm = np.asarray(cmtx, np.float64)
-        denom = cm.max() if cm.max() > 0 else 1.0
-        norm = cm / denom
-        r = np.clip(norm * 2.0 - 0.5, 0, 1)
-        g = np.clip(norm * 1.5, 0, 1)
-        b = np.clip(1.0 - norm, 0, 1)
-        img = (np.stack([r, g, b], -1) * 255).astype(np.uint8)
-        img = np.repeat(np.repeat(img, cell, 0), cell, 1)
+        """Render a confusion matrix as an image summary (the reference's
+        tensorboard_vis.py:165-230 plot_confusion_matrix, which draws a
+        matplotlib figure with class ticks + per-cell counts).  Uses
+        matplotlib when importable; otherwise falls back to a dependency-free
+        heatmap upscaled to `cell` pixels per entry."""
+        img = _render_confusion_matrix(cmtx, class_names, cell)
         self.add_image(tag, img, step)
 
     def add_weight_histograms(self, params, step: int, prefix: str = "weights"):

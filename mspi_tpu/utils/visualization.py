@@ -121,6 +121,19 @@ class ScalarWriter:
         for p, l in zip(preds, labels):
             cm[int(l), int(p)] += 1
         np.save(os.path.join(self.log_dir, f"confusion_{global_step}.npy"), cm)
+        # rendered figure alongside the raw matrix (reference
+        # tensorboard_vis.py:165-230 draws the matplotlib figure)
+        try:
+            import cv2
+
+            from mspi_tpu.utils.tensorboard import _render_confusion_matrix
+
+            img = _render_confusion_matrix(cm)
+            cv2.imwrite(os.path.join(self.log_dir,
+                                     f"confusion_{global_step}.png"),
+                        img[:, :, ::-1])
+        except ImportError:
+            pass
         return cm
 
     def close(self):

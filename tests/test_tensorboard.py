@@ -67,8 +67,24 @@ def test_events_readable_by_tensorboard(tmp_path):
     assert h.shape == (30, 3)
     assert abs(h[:, 2].sum() - 1000) < 1e-4  # counts
     w_, h_, png = images[("val/cm", 4)]
-    assert w_ == b"64" and h_ == b"64"  # 4x4 cells x 16 px
+    # matplotlib figure when available (reference tensorboard_vis.py:165-230
+    # draws one), else the 4x4-cells x 16-px fallback heatmap
+    assert int(w_) >= 64 and int(h_) >= 64
     assert png.startswith(b"\x89PNG")
+
+
+def test_confusion_matrix_figure(tmp_path):
+    from mspi_tpu.utils.tensorboard import _render_confusion_matrix
+    from mspi_tpu.utils.visualization import ScalarWriter
+
+    img = _render_confusion_matrix(np.eye(4) * 10, ["a", "b", "c", "d"])
+    assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
+    sw = ScalarWriter(str(tmp_path))
+    cm = sw.plot_confusion_matrix(np.array([0, 1, 2, 2]),
+                                  np.array([0, 1, 2, 1]), 3, global_step=7)
+    assert cm[1, 2] == 1 and cm.sum() == 4
+    assert (tmp_path / "confusion_7.npy").exists()
+    assert (tmp_path / "confusion_7.png").exists()
 
 
 def test_weight_histograms(tmp_path):
