@@ -379,7 +379,10 @@ def drop_path_fn(rng, x: jnp.ndarray, rate, deterministic: bool) -> jnp.ndarray:
     keep = 1.0 - rate
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
     mask = jax.random.bernoulli(rng, keep, shape)
-    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+    # a traced `rate` is fp32: dividing by it would promote a bf16 residual
+    # stream to fp32 (same leak class as the ConvNeXt gamma fix)
+    inv = jnp.asarray(1.0 / keep, x.dtype)
+    return jnp.where(mask, x * inv, jnp.zeros_like(x))
 
 
 class DropPath(nn.Module):

@@ -11,7 +11,15 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# 8 emulated devices time-share this image's single core: a collective can
+# legitimately wait minutes for its peers' thunks to be scheduled, and
+# XLA:CPU hard-aborts the process after 40 s by default.  Must be set here
+# (before the backend initialises) — __graft_entry__ sets it too, but that
+# is a no-op once earlier tests have already initialised the CPU client.
+if "collective_call_terminate_timeout" not in flags:
+    flags += " --xla_cpu_collective_call_terminate_timeout_seconds=3000"
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
