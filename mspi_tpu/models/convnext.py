@@ -41,11 +41,20 @@ class ConvNeXtBlock2d(nn.Module):
         )
 
     def __call__(self, x):
+        import os
+
         from mspi_tpu.ops.pallas.mlp import maybe_fused_ln_mlp
 
         shortcut = x
         x = self.conv_dw(x)
-        y = maybe_fused_ln_mlp(self.norm, self.mlp, x)
+        # XLA lays the prior's conv stack out batch-minor (B*T=128 in lanes,
+        # C=96 too narrow); the fused kernel wants token-major, so each call
+        # pays a relayout copy pair (~3 ms/block at stage 0, r3 profile).
+        # MSPI_PRIOR_FUSED=0 keeps the prior on XLA's own LN+MLP chain in
+        # its native layout to A/B kernel-win vs copy-cost.
+        y = None
+        if os.environ.get("MSPI_PRIOR_FUSED", "1") == "1":
+            y = maybe_fused_ln_mlp(self.norm, self.mlp, x)
         if y is None:
             y = self.mlp(self.norm(x))
         # gamma is an fp32 param: cast to the activation dtype or the

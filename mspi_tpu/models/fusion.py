@@ -28,6 +28,7 @@ from mspi_tpu.models.audio_resnet import AudioResNet18
 from mspi_tpu.models.convnext import ConvNeXtTinyFeatures
 from mspi_tpu.models.s3d import BasicConv3d, SepConv3d
 from mspi_tpu.ops import (
+    MapConv3d,
     MaxPool,
     ReLU,
     Sequential,
@@ -340,7 +341,17 @@ def _latlayer(in_dim: int, de_dim: int, temporal: bool, stride: int) -> Sequenti
 
 def _readout(de_dim: int) -> Sequential:
     """Readout head (model_utils.py:490-504): collapse 4x de_dim pyramid to a
-    1-channel map at full resolution and T=1."""
+    1-channel map at full resolution and T=1.
+
+    Two exact TPU rewrites vs the reference order (child indices — and thus
+    converter names — are unchanged):
+    - the stride-4 temporal-collapse conv (idx 8) runs BEFORE the (1,4,4)
+      spatial Upsample (idx 7): both are linear over disjoint axes, so the
+      composition is identical, but the conv now reads 56x96 instead of
+      224x384 (the old order materialised a 352 MB intermediate whose
+      relayout copy alone was 5 ms/trace — r3 profile copy.3439).
+    - the final 32->1 conv is a MapConv3d emitting [B,T,H,W] directly
+      (see its docstring; identical params)."""
     return Sequential([
         conv3d(de_dim * 4, de_dim, 1, 1, 0),
         conv3d(de_dim, de_dim, 3, 1, 1),
@@ -352,8 +363,8 @@ def _readout(de_dim: int) -> Sequential:
         ReLU(),
         conv3d(32, 32, (1, 3, 3), 1, (0, 1, 1)),
         ReLU(),
-        conv3d(32, 1, (1, 3, 3), 1, (0, 1, 1)),
-    ])
+        MapConv3d(32, (3, 3)),
+    ], order=(0, 1, 2, 3, 4, 5, 6, 8, 7, 9, 10, 11, 12))
 
 
 class AudioVisualSaliencyModel(nn.Module):
@@ -448,7 +459,7 @@ class AudioVisualSaliencyModel(nn.Module):
                              self.upsample_8(s3)], axis=-1),
             train=train,
         )
-        out = out[:, 0, :, :, 0].astype(jnp.float32)  # [B,H,W]
+        out = out[:, 0].astype(jnp.float32)  # MapConv3d emits [B,T,H,W]
         out = out - jax.scipy.special.logsumexp(out, axis=(1, 2), keepdims=True)
         return out, loss_av
 
@@ -507,6 +518,6 @@ class VisualSaliencyModel(nn.Module):
                              self.upsample_8(s3)], axis=-1),
             train=train,
         )
-        out = out[:, 0, :, :, 0].astype(jnp.float32)
+        out = out[:, 0].astype(jnp.float32)  # MapConv3d emits [B,T,H,W]
         out = out - jax.scipy.special.logsumexp(out, axis=(1, 2), keepdims=True)
         return out, 0.0

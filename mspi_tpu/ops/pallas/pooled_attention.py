@@ -27,6 +27,7 @@ dk += dS^T Q, with dk/dv accumulated across q-tiles inside the grid
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -204,8 +205,43 @@ def _attention_fwd(q, k, v, tq, interpret):
     return _fwd_impl(q, k, v, tq, interpret), (q, k, v)
 
 
+def _bwd_vmem_bytes(tq: int, nk: int, da: int, dv: int) -> int:
+    """Trace-time estimate of the backward kernel's per-step VMEM footprint.
+    k/v in-blocks and dk/dv fp32 accumulator out-blocks are lane-padded to
+    128 and double-buffered by Mosaic; score-shaped temporaries cost
+    ~_BWD_SCORE_BYTES per element."""
+    pad = lambda d: -(-d // 128) * 128
+    kv_in = nk * (pad(da) + pad(dv)) * 2 * 2
+    acc_out = nk * (pad(da) + pad(dv)) * 4 * 2
+    scores = tq * nk * _BWD_SCORE_BYTES
+    rows = tq * (2 * pad(da) + 2 * pad(dv)) * 4
+    return kv_in + acc_out + scores + rows
+
+
+def _jnp_reference(q, k, v):
+    """Same math as the forward kernel (fp32 scores/softmax, bf16 matmul
+    operands) in plain jnp — used only to derive gradients for shapes whose
+    Pallas backward cannot fit VMEM."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
 def _attention_bwd(tq, interpret, res, do):
     q, k, v = res
+    # Cross-shape blocks with huge Nk (e.g. MViT stage-transition blocks at
+    # batch 8: Nq=768, Nk=2688, Da=142) can exceed the ~16 MB scoped-VMEM
+    # limit even at the minimum 128-row q-tile, because the resident k/v
+    # blocks + fp32 dk/dv accumulators dominate.  The forward still fits
+    # (smaller score footprint, no accumulators); only the backward falls
+    # back to XLA's recompute-and-differentiate for those blocks.
+    limit = int(os.environ.get("MSPI_ATTN_BWD_VMEM_LIMIT", 14 * 1024 * 1024))
+    if _bwd_vmem_bytes(tq, k.shape[2], q.shape[3], v.shape[3]) > limit:
+        _, vjp = jax.vjp(_jnp_reference, q, k, v)
+        return vjp(do)
     return _bwd_impl(q, k, v, do, tq, interpret)
 
 

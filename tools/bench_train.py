@@ -103,7 +103,12 @@ def main():
                 new_st, metrics = body_fn(state, batch, 1e-4)
             finally:
                 os.environ.pop("MSPI_DISABLE_PALLAS", None)
-            return metrics["loss"]
+            # depend on EVERY updated param: returning only the loss lets
+            # XLA dead-code-eliminate the whole backward + optimizer update
+            # from the counting twin (measured: it reported forward-only
+            # FLOPs, 642 vs the true ~1900 GFLOPs/clip)
+            upd = sum(jnp.sum(l) for l in jax.tree.leaves(new_st.params))
+            return metrics["loss"] + upd.astype(jnp.float32)
 
         flops = cost_analysis(one_step, state, batch).get("flops", 0.0)
         if flops:
