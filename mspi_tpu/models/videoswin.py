@@ -140,8 +140,7 @@ class WindowAttention3D(nn.Module):
         B_, N, C = x.shape
         H = self.num_heads
         head = C // H
-        qkv = self.qkv(x).reshape(B_, N, 3, H, head)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        qkv_flat = self.qkv(x)  # [B_, N, 3C], lane order (3, head, D)
 
         # Bug-compatible with the reference (…py:172): the bias index grid is
         # always the *configured* window's, sliced [:N, :N].  When the window
@@ -152,21 +151,29 @@ class WindowAttention3D(nn.Module):
         bias = self.relative_position_bias_table[np.asarray(idx).reshape(-1)]
         bias = bias.reshape(N, N, -1).transpose(2, 0, 1)  # [H, N, N]
 
-        from mspi_tpu.ops.pallas import pallas_enabled
+        from mspi_tpu.ops.pallas import pallas_enabled, pallas_interpret
 
-        if pallas_enabled() and N * N * 4 * 4 < 8 * 1024 * 1024:
-            # fused VMEM-resident kernel: the [B*nW, H, N, N] score tensor
-            # never touches HBM
-            from mspi_tpu.ops.pallas.attention import fused_window_attention
+        from mspi_tpu.ops.pallas.attention import (
+            fused_window_attention, packed_window_attention_fits)
 
-            qh = q.transpose(0, 2, 1, 3)  # [B, H, N, D]
-            kh = k.transpose(0, 2, 1, 3)
-            vh = v.transpose(0, 2, 1, 3)
+        if pallas_enabled() and packed_window_attention_fits(
+                N, C, H, qkv_flat.dtype.itemsize, mask is not None,
+                qkv_flat.dtype.itemsize):
+            # fused VMEM-resident kernel consuming the packed qkv projection
+            # directly: no per-head slice/transpose copies, no 32-lane
+            # padding of q/k/v, scores never touch HBM.  Many-head stages
+            # whose resident [H,N,N] bias would blow VMEM (Swin stage 4,
+            # 24 heads) take the jnp path below instead.
+
             nW = mask.shape[0] if mask is not None else 1
-            out = fused_window_attention(qh, kh, vh, bias, mask, num_windows=nW)
-            out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+            out = fused_window_attention(
+                qkv_flat, bias.astype(qkv_flat.dtype),
+                None if mask is None else mask.astype(qkv_flat.dtype),
+                num_heads=H, num_windows=nW, interpret=pallas_interpret())
             return self.proj(out)
 
+        qkv = qkv_flat.reshape(B_, N, 3, H, head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (head ** -0.5)
         attn = attn + bias[None]
         if mask is not None:

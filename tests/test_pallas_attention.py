@@ -8,62 +8,73 @@ import numpy as np
 from mspi_tpu.ops.pallas.attention import fused_window_attention
 
 
-def reference_attention(q, k, v, bias, mask, num_windows):
-    B, H, N, D = q.shape
-    attn = jnp.einsum("bhnd,bhmd->bhnm", q * (D ** -0.5), k) + bias[None]
+def reference_attention_packed(qkv, bias, mask, num_heads, num_windows):
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    D = C // num_heads
+    split = qkv.reshape(B, N, 3, num_heads, D)
+    q, k, v = split[:, :, 0], split[:, :, 1], split[:, :, 2]
+    attn = jnp.einsum("bnhd,bmhd->bhnm", q * (D ** -0.5), k) + bias[None]
     if mask is not None:
-        attn = attn.reshape(B // num_windows, num_windows, H, N, N) + mask[None, :, None]
-        attn = attn.reshape(B, H, N, N)
+        attn = attn.reshape(B // num_windows, num_windows, num_heads, N, N) \
+            + mask[None, :, None]
+        attn = attn.reshape(B, num_heads, N, N)
     attn = jax.nn.softmax(attn, axis=-1)
-    return jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+    return jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
 
 
 def test_fused_window_attention_matches_reference(rng):
     B, H, N, D = 4, 3, 56, 32  # nW=2 windows x batch 2
     nW = 2
-    q = jnp.asarray(rng.standard_normal((B, H, N, D)).astype(np.float32))
-    k = jnp.asarray(rng.standard_normal((B, H, N, D)).astype(np.float32))
-    v = jnp.asarray(rng.standard_normal((B, H, N, D)).astype(np.float32))
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3 * H * D)).astype(np.float32))
     bias = jnp.asarray(rng.standard_normal((H, N, N)).astype(np.float32))
     mask = jnp.asarray(
         np.where(rng.random((nW, N, N)) > 0.8, -100.0, 0.0).astype(np.float32))
 
-    ref = reference_attention(q, k, v, bias, mask, nW)
-    out = fused_window_attention(q, k, v, bias, mask, num_windows=nW,
+    ref = reference_attention_packed(qkv, bias, mask, H, nW)
+    out = fused_window_attention(qkv, bias, mask, num_heads=H, num_windows=nW,
                                  interpret=True)
     np.testing.assert_allclose(np.array(out), np.array(ref), atol=2e-5, rtol=1e-4)
 
-    ref_nm = reference_attention(q, k, v, bias, None, nW)
-    out_nm = fused_window_attention(q, k, v, bias, None, interpret=True)
+    ref_nm = reference_attention_packed(qkv, bias, None, H, nW)
+    out_nm = fused_window_attention(qkv, bias, None, num_heads=H,
+                                    interpret=True)
     np.testing.assert_allclose(np.array(out_nm), np.array(ref_nm), atol=2e-5,
                                rtol=1e-4)
 
 
-def test_fused_window_attention_grads_match_reference(rng):
-    """Backward (Pallas custom_vjp kernel) vs jax.grad through the jnp path."""
+def test_fused_window_attention_grads_match_reference(rng, monkeypatch):
+    """Backward (Pallas custom_vjp kernel) vs jax.grad through the jnp path —
+    both the packed-dbias kernel and the per-head fallback (forced via a tiny
+    VMEM budget)."""
     B, H, N, D = 4, 2, 24, 16
     nW = 2
-    q = jnp.asarray(rng.standard_normal((B, H, N, D)).astype(np.float32))
-    k = jnp.asarray(rng.standard_normal((B, H, N, D)).astype(np.float32))
-    v = jnp.asarray(rng.standard_normal((B, H, N, D)).astype(np.float32))
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3 * H * D)).astype(np.float32))
     bias = jnp.asarray(rng.standard_normal((H, N, N)).astype(np.float32))
     mask = jnp.asarray(
         np.where(rng.random((nW, N, N)) > 0.8, -100.0, 0.0).astype(np.float32))
-    w = jnp.asarray(rng.standard_normal((B, H, N, D)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((B, N, H * D)).astype(np.float32))
 
-    for m in (mask, None):
-        def loss_ref(q, k, v, bias):
-            return jnp.sum(reference_attention(q, k, v, bias, m, nW) * w)
+    for budget in (None, "200000"):  # default -> packed bwd; tiny -> per-head
+        if budget is None:
+            monkeypatch.delenv("MSPI_ATTN_VMEM_BUDGET", raising=False)
+        else:
+            monkeypatch.setenv("MSPI_ATTN_VMEM_BUDGET", budget)
+        for m in (mask, None):
+            def loss_ref(qkv, bias):
+                return jnp.sum(
+                    reference_attention_packed(qkv, bias, m, H, nW) * w)
 
-        def loss_pl(q, k, v, bias):
-            return jnp.sum(fused_window_attention(
-                q, k, v, bias, m, num_windows=nW, interpret=True) * w)
+            def loss_pl(qkv, bias):
+                return jnp.sum(fused_window_attention(
+                    qkv, bias, m, num_heads=H, num_windows=nW,
+                    interpret=True) * w)
 
-        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
-        g_pl = jax.grad(loss_pl, argnums=(0, 1, 2, 3))(q, k, v, bias)
-        for a, b, name in zip(g_ref, g_pl, ("dq", "dk", "dv", "dbias")):
-            np.testing.assert_allclose(np.array(b), np.array(a), atol=5e-4,
-                                       rtol=1e-3, err_msg=name)
+            g_ref = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+            g_pl = jax.grad(loss_pl, argnums=(0, 1))(qkv, bias)
+            for a, b, name in zip(g_ref, g_pl, ("dqkv", "dbias")):
+                np.testing.assert_allclose(np.array(b), np.array(a),
+                                           atol=5e-4, rtol=1e-3, err_msg=name)
 
 
 # ---- pooled attention (MViT flagship path) ----
@@ -165,6 +176,28 @@ def test_mvit_module_fused_path_matches_jnp(rng, monkeypatch):
     assert thw_ref == thw_pl
     np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ref),
                                atol=3e-5)
+
+
+def test_videoswin_window_attention_fused_path_matches_jnp(rng, monkeypatch):
+    """WindowAttention3D module through the packed-qkv Pallas path
+    (MSPI_PALLAS_INTERPRET=1) == the jnp einsum path, with and without a
+    shift mask."""
+    from mspi_tpu.models.videoswin import WindowAttention3D
+
+    attn = WindowAttention3D(dim=32, window_size=(2, 4, 4), num_heads=4)
+    N = 2 * 4 * 4
+    nW = 2
+    x = jnp.asarray(rng.standard_normal((2 * nW, N, 32)).astype(np.float32))
+    mask = jnp.asarray(
+        np.where(rng.random((nW, N, N)) > 0.8, -100.0, 0.0).astype(np.float32))
+    variables = attn.init(jax.random.PRNGKey(0), x)
+    for m in (None, mask):
+        out_ref = attn.apply(variables, x, m)
+        monkeypatch.setenv("MSPI_PALLAS_INTERPRET", "1")
+        out_pl = attn.apply(variables, x, m)
+        monkeypatch.delenv("MSPI_PALLAS_INTERPRET")
+        np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ref),
+                                   atol=3e-5)
 
 
 def test_uniformer_attention_fused_path_matches_jnp(rng, monkeypatch):
