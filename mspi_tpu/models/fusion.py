@@ -38,6 +38,7 @@ from mspi_tpu.ops import (
     batchnorm,
     conv2d,
     conv3d,
+    dense_split,
     dense,
     gelu,
     layernorm,
@@ -89,30 +90,31 @@ class Attention(nn.Module):
     qkv_bias: bool = False
 
     def setup(self):
-        self.qkv = dense(self.dim, self.dim * 3, bias=self.qkv_bias,
-                         kernel_init=xavier, bias_init=zeros)
+        self.qkv = dense_split(self.dim, self.dim * 3, (self.dim,),
+                               bias=self.qkv_bias, kernel_init=xavier,
+                               bias_init=zeros)
         self.proj = dense(self.dim, self.dim, kernel_init=xavier, bias_init=zeros)
 
     def __call__(self, x):
         B, N, C = x.shape
         H = self.num_heads
         head = C // H
-        qkv = self.qkv(x).reshape(B, N, 3, H, head)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,N,H,head]
+        qp, kvp = self.qkv(x)  # [B,N,C], [B,N,2C] — head-major lanes
 
         from mspi_tpu.ops.pallas import pallas_enabled
 
         if pallas_enabled() and N <= 4096:
-            from mspi_tpu.ops.pallas.pooled_attention import fused_attention
-
             from mspi_tpu.ops.pallas import pallas_interpret
-            out = fused_attention(q.transpose(0, 2, 1, 3) * (head ** -0.5),
-                                  k.transpose(0, 2, 1, 3),
-                                  v.transpose(0, 2, 1, 3),
-                                  interpret=pallas_interpret())
-            out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+            from mspi_tpu.ops.pallas.pooled_attention import \
+                fused_self_attention
+
+            out = fused_self_attention(qp, kvp, num_heads=H,
+                                       interpret=pallas_interpret())
             return self.proj(out)
 
+        q = qp.reshape(B, N, H, head)
+        k = kvp[:, :, :C].reshape(B, N, H, head)
+        v = kvp[:, :, C:].reshape(B, N, H, head)
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (head ** -0.5)
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)

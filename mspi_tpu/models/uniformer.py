@@ -23,7 +23,7 @@ from flax import linen as nn
 
 from mspi_tpu.config import UniFormerConfig
 from mspi_tpu.ops import (DropPath, Sequential, batchnorm, conv3d, dense,
-                          gelu, layernorm)
+                          dense_split, gelu, layernorm)
 
 
 class Mlp(nn.Module):
@@ -65,36 +65,38 @@ class Attention(nn.Module):
     def setup(self):
         if self.temporal_init:
             z, o = jax.nn.initializers.zeros, jax.nn.initializers.ones
-            self.qkv = dense(self.dim, self.dim * 3, bias=self.qkv_bias,
-                             kernel_init=z, bias_init=z)
+            self.qkv = dense_split(self.dim, self.dim * 3, (self.dim,),
+                                   bias=self.qkv_bias, kernel_init=z,
+                                   bias_init=z)
             self.proj = dense(self.dim, self.dim, kernel_init=o, bias_init=z)
         else:
-            self.qkv = dense(self.dim, self.dim * 3, bias=self.qkv_bias)
+            self.qkv = dense_split(self.dim, self.dim * 3, (self.dim,),
+                                   bias=self.qkv_bias)
             self.proj = dense(self.dim, self.dim)
 
     def __call__(self, x):
         B, N, C = x.shape
         H = self.num_heads
         head = C // H
-        qkv = self.qkv(x).reshape(B, N, 3, H, head)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        qp, kvp = self.qkv(x)  # [B,N,C], [B,N,2C] — head-major lanes
 
         from mspi_tpu.ops.pallas import pallas_enabled
 
-        # Fused Pallas attention: at stage 3 (N=2688, head_dim 64) K/V fit
-        # VMEM, and XLA would otherwise round-trip [B,H,N,N] (~29 MB per
-        # head-batch) through HBM.
+        # Fused Pallas attention on the packed activations: at stage 3
+        # (N=2688, head_dim 64) K/V fit VMEM, and XLA would otherwise
+        # round-trip [B,H,N,N] (~29 MB per head-batch) through HBM.
         if pallas_enabled() and N <= 4096:
-            from mspi_tpu.ops.pallas.pooled_attention import fused_attention
-
             from mspi_tpu.ops.pallas import pallas_interpret
-            out = fused_attention(q.transpose(0, 2, 1, 3) * (head ** -0.5),
-                                  k.transpose(0, 2, 1, 3),
-                                  v.transpose(0, 2, 1, 3),
-                                  interpret=pallas_interpret())
-            out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+            from mspi_tpu.ops.pallas.pooled_attention import \
+                fused_self_attention
+
+            out = fused_self_attention(qp, kvp, num_heads=H,
+                                       interpret=pallas_interpret())
             return self.proj(out)
 
+        q = qp.reshape(B, N, H, head)
+        k = kvp[:, :, :C].reshape(B, N, H, head)
+        v = kvp[:, :, C:].reshape(B, N, H, head)
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (head ** -0.5)
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)

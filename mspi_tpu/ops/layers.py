@@ -162,6 +162,56 @@ def dense(in_features: int, features: int, bias: bool = True, dtype=None,
     )
 
 
+class DenseSplit(nn.Module):
+    """nn.Dense with an identical param tree (kernel [in, out], bias [out] —
+    so torch-weight conversion and TP sharding rules are unchanged) whose
+    output is returned lane-split at `splits` boundaries as separate arrays.
+
+    Attention call sites use this to emit q and kv (or q/k/v) as separate
+    tensors straight out of the matmul: slicing a fused [.., 3C] output in
+    XLA materialises copies on the way into a Pallas kernel, whereas
+    slicing the *weight* at trace time is free.
+    """
+
+    in_features: int
+    features: int
+    splits: Tuple[int, ...]
+    use_bias: bool = True
+    dtype: Any = None
+    kernel_init: Any = None
+    bias_init: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", self.kernel_init or torch_kernel_init,
+                            (self.in_features, self.features))
+        bias = self.param("bias",
+                          self.bias_init or torch_bias_init(self.in_features),
+                          (self.features,)) if self.use_bias else None
+        from flax.linen.dtypes import promote_dtype
+
+        dtype = self.dtype if self.dtype is not None else default_compute_dtype()
+        x, kernel, bias = promote_dtype(x, kernel, bias, dtype=dtype)
+        outs = []
+        lo = 0
+        for hi in tuple(self.splits) + (self.features,):
+            y = x @ jax.lax.slice_in_dim(kernel, lo, hi, axis=1)
+            if bias is not None:
+                y = y + bias[lo:hi]
+            outs.append(y)
+            lo = hi
+        return tuple(outs)
+
+
+def dense_split(in_features: int, features: int, splits: Tuple[int, ...],
+                bias: bool = True, dtype=None, kernel_init=None,
+                bias_init=None, name: Optional[str] = None) -> DenseSplit:
+    """torch nn.Linear whose output is returned pre-split along lanes."""
+    return DenseSplit(in_features, features, tuple(splits), use_bias=bias,
+                      dtype=dtype, kernel_init=kernel_init,
+                      bias_init=bias_init, name=name)
+
+
 def batchnorm(momentum: float = 0.1, epsilon: float = 1e-5, dtype=None,
               name: Optional[str] = None) -> nn.BatchNorm:
     """torch nn.BatchNorm{1,2,3}d over the trailing channel axis.

@@ -248,6 +248,134 @@ def _attention_bwd(tq, interpret, res, do):
 _attention.defvjp(_attention_fwd, _attention_bwd)
 
 
+# --------------------------------------------------------------------------
+# packed self-attention (UniFormer stage-3/4 global MHSA, SyncBlock)
+# --------------------------------------------------------------------------
+
+
+def _self_fwd_kernel(q_ref, kv_ref, out_ref, *, heads, scale):
+    """One (batch, q-tile) grid step over ALL heads: q [TQ, C] and kv
+    [Nk, 2C] arrive in their natural lane layouts (no per-head transpose,
+    no 128-lane padding of a 64-wide head dim); heads are static lane
+    slices unrolled in-kernel."""
+    C = out_ref.shape[-1]
+    D = C // heads
+    q = q_ref[0]    # [TQ, C]
+    kv = kv_ref[0]  # [Nk, 2C]
+    for h in range(heads):
+        qh = q[:, h * D:(h + 1) * D] * q.dtype.type(scale)
+        kh = kv[:, h * D:(h + 1) * D]
+        vh = kv[:, C + h * D:C + (h + 1) * D]
+        scores = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [TQ, Nk]
+        probs = _softmax(scores)
+        out = jnp.dot(probs.astype(vh.dtype), vh,
+                      preferred_element_type=jnp.float32)
+        out_ref[0, :, h * D:(h + 1) * D] = out.astype(out_ref.dtype)
+
+
+def _self_fwd_impl(q, kv, heads, tq, interpret):
+    B, Nq, C = q.shape
+    Nk = kv.shape[1]
+    D = C // heads
+    scale = D ** -0.5
+    assert Nq % tq == 0, (Nq, tq)
+    return pl.pallas_call(
+        functools.partial(_self_fwd_kernel, heads=heads, scale=scale),
+        grid=(B, Nq // tq),
+        in_specs=[
+            pl.BlockSpec((1, tq, C), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            # kv block index depends on b only -> resident across q-tiles
+            pl.BlockSpec((1, Nk, 2 * C), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, C), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Nq, C), q.dtype),
+        interpret=interpret,
+    )(q, kv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _self_attention(q, kv, heads, tq, interpret):
+    return _self_fwd_impl(q, kv, heads, tq, interpret)
+
+
+def _self_attention_fwd(q, kv, heads, tq, interpret):
+    return _self_fwd_impl(q, kv, heads, tq, interpret), (q, kv)
+
+
+def _self_attention_bwd(heads, tq, interpret, res, do):
+    """Per-head layout conversion + the existing cross-shape backward (or
+    its jnp fallback) — the conversion copies exist on the training path
+    only; inference keeps the packed layout end to end."""
+    q, kv = res
+    B, Nq, C = q.shape
+    Nk = kv.shape[1]
+    D = C // heads
+    scale = D ** -0.5
+    qh = q.reshape(B, Nq, heads, D).transpose(0, 2, 1, 3) * scale
+    kh = kv[:, :, :C].reshape(B, Nk, heads, D).transpose(0, 2, 1, 3)
+    vh = kv[:, :, C:].reshape(B, Nk, heads, D).transpose(0, 2, 1, 3)
+    doh = do.reshape(B, Nq, heads, D).transpose(0, 2, 1, 3)
+    limit = int(os.environ.get("MSPI_ATTN_BWD_VMEM_LIMIT", 14 * 1024 * 1024))
+    if _bwd_vmem_bytes(tq, Nk, D, D) > limit:
+        _, vjp = jax.vjp(_jnp_reference, qh, kh, vh)
+        dqh, dkh, dvh = vjp(doh)
+    else:
+        dqh, dkh, dvh = _bwd_impl(qh, kh, vh, doh, tq, interpret)
+    dq = (dqh * scale).transpose(0, 2, 1, 3).reshape(B, Nq, C)
+    dkv = jnp.concatenate([
+        dkh.transpose(0, 2, 1, 3).reshape(B, Nk, C),
+        dvh.transpose(0, 2, 1, 3).reshape(B, Nk, C),
+    ], axis=-1)
+    return dq, dkv
+
+
+_self_attention.defvjp(_self_attention_fwd, _self_attention_bwd)
+
+
+def _self_tile(nq: int, nk: int, c: int, itemsize: int) -> int:
+    """Largest q-tile whose fp32 score block + packed tiles fit the budget
+    alongside the resident kv block (and that the backward's per-head
+    tiling also accepts — keep it a multiple of the bwd-safe tile)."""
+    budget = _budget_bytes()
+    resident = nk * -(-2 * c // 128) * 128 * itemsize * 2
+    for t in (512, 256, 128):
+        tiles = t * (-(-c // 128) * 128) * itemsize * 4  # q + out, dbuf
+        scores = t * (-(-nk // 128) * 128) * 12
+        if resident + tiles + scores <= budget:
+            return t
+    return 128
+
+
+def _budget_bytes() -> int:
+    return int(os.environ.get("MSPI_ATTN_VMEM_BUDGET", 12 * 1024 * 1024))
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def fused_self_attention(
+    q: jnp.ndarray,   # [B, Nq, C]  — head-major lanes (h, D), unscaled
+    kv: jnp.ndarray,  # [B, Nk, 2C] — k then v, each head-major
+    *,
+    num_heads: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """softmax(q k^T / sqrt(D)) v per head on packed activations: consumes
+    q / kv exactly as a (split) qkv dense emits them and returns [B, Nq, C]
+    exactly as the proj dense consumes it — no per-head slice/transpose
+    copies and no lane padding of small head dims around the kernel."""
+    B, Nq, C = q.shape
+    TQ = _self_tile(Nq, kv.shape[1], C, q.dtype.itemsize)
+    pad = -Nq % TQ
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+    out = _self_attention(q, kv, num_heads, TQ, interpret)
+    return out[:, :Nq] if pad else out
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_attention(
     q: jnp.ndarray,  # [B, H, Nq, Da] — scale (and any bias lanes) pre-applied

@@ -228,6 +228,49 @@ def test_syncblock_attention_fused_path_matches_jnp(rng, monkeypatch):
                                atol=3e-5)
 
 
+def _ref_self_attention(q, kv, heads):
+    B, Nq, C = q.shape
+    D = C // heads
+    qh = q.reshape(B, Nq, heads, D)
+    kh = kv[:, :, :C].reshape(B, -1, heads, D)
+    vh = kv[:, :, C:].reshape(B, -1, heads, D)
+    attn = jax.nn.softmax(
+        jnp.einsum("bnhd,bmhd->bhnm", qh * (D ** -0.5), kh), axis=-1)
+    return jnp.einsum("bhnm,bmhd->bnhd", attn, vh).reshape(B, Nq, C)
+
+
+def test_fused_self_attention_matches_reference(rng):
+    from mspi_tpu.ops.pallas.pooled_attention import fused_self_attention
+
+    B, N, H, D = 2, 200, 4, 16  # N=200 exercises the q-padding path
+    C = H * D
+    q = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32))
+    kv = jnp.asarray(rng.standard_normal((B, N, 2 * C)).astype(np.float32))
+    out = fused_self_attention(q, kv, num_heads=H, interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_ref_self_attention(q, kv, H)),
+                               atol=2e-5)
+
+
+def test_fused_self_attention_grads_match_reference(rng):
+    from mspi_tpu.ops.pallas.pooled_attention import fused_self_attention
+
+    B, N, H, D = 1, 136, 2, 16  # padded Nq -> padded rows carry 0 cotangent
+    C = H * D
+    q = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32))
+    kv = jnp.asarray(rng.standard_normal((B, N, 2 * C)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32))
+
+    g_f = jax.grad(lambda q, kv: jnp.sum(
+        fused_self_attention(q, kv, num_heads=H, interpret=True) * w),
+        argnums=(0, 1))(q, kv)
+    g_r = jax.grad(lambda q, kv: jnp.sum(
+        _ref_self_attention(q, kv, H) * w), argnums=(0, 1))(q, kv)
+    for a, b, name in zip(g_f, g_r, ("dq", "dkv")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                   rtol=1e-3, err_msg=name)
+
+
 # ---- fused MLP ----
 
 from mspi_tpu.ops.pallas.mlp import fused_mlp
