@@ -413,6 +413,9 @@ class MViTFeatures(nn.Module):
             num_heads = round_width(num_heads, head_mul[i])
             dim_out = round_width(embed_dim, dim_mul[i],
                                   divisor=round_width(num_heads, head_mul[i]))
+            # static_argnums counts __call__'s args WITH self (flax
+            # subtracts 1): thw=2, train=3 — and the call site must pass
+            # train positionally (jax.checkpoint statics are positional)
             block_cls = (nn.remat(MultiScaleBlock, static_argnums=(2, 3))
                          if self.remat else MultiScaleBlock)
             blocks.append(block_cls(
@@ -425,6 +428,13 @@ class MViTFeatures(nn.Module):
                 input_size = [s // st for s, st in zip(input_size, stride_q[i])]
             embed_dim = dim_out
         self.blocks = ModuleList(blocks)
+        # static per-block q strides: under nn.remat the aux (x, thw) output
+        # round-trips jax.checkpoint and thw comes back *traced*, which would
+        # poison every downstream reshape — so thw is replayed statically
+        # (q-pool conv: kernel 3/1, padding k//2, stride st -> ceil(in/st))
+        self._q_strides = tuple(
+            tuple(stride_q[i]) if math.prod(stride_q[i]) > 0 else (1, 1, 1)
+            for i in range(depth))
         self.patch_embed = PatchEmbedMViT(c.patch_kernel, c.patch_stride,
                                           c.patch_padding, c.embed_dim)
 
@@ -432,7 +442,11 @@ class MViTFeatures(nn.Module):
         x, thw = self.patch_embed(x)
         feas = []
         for i, blk in enumerate(self.blocks.layers):
-            x, thw = blk(x, thw, train=train)
+            # positional train: jax.checkpoint's static_argnums only covers
+            # positional args
+            x, _ = blk(x, thw, train)
+            thw = tuple(-(-t // st)
+                        for t, st in zip(thw, self._q_strides[i]))
             if i in self._tap:
                 T, Hh, Ww = thw
                 feas.append(x.reshape(x.shape[0], T, Hh, Ww, -1))

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from mspi_tpu.config import MViTConfig
+from mspi_tpu.models.mvit import MViTFeatures as MViTFeaturesForTest
 from mspi_tpu.models.reversible_mvit import (ReversibleBlock,
                                              ReversibleMViTFeatures,
                                              reversible_sequence)
@@ -106,9 +107,37 @@ def test_remat_blocks_match_plain(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_remat_mvit_features_match_plain(rng):
+    """MViTFeatures(remat=True) — the --remat flagship path — matches the
+    plain forward exactly and the plain gradients to recompute-rounding
+    noise.  Also regression-tests the static thw replay: under nn.remat the
+    block's aux thw output comes back traced, and using it for reshapes
+    broke tracing (how --remat failed at batch 8)."""
+    cfg = MViTConfig()
+    x = jnp.asarray(rng.standard_normal((1, 16, 32, 32, 3)).astype(np.float32))
+    plain = MViTFeaturesForTest(cfg=cfg)
+    remat = MViTFeaturesForTest(cfg=cfg, remat=True)
+    variables = jax.jit(plain.init)(jax.random.PRNGKey(0), x)
+
+    def loss(m, v):
+        return sum(jnp.sum(f ** 2) for f in m.apply(v, x))
+
+    l1, g1 = jax.value_and_grad(lambda v: loss(plain, v))(variables)
+    l2, g2 = jax.value_and_grad(lambda v: loss(remat, v))(variables)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        a, b = np.asarray(a), np.asarray(b)
+        tol = 1e-3 * max(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(a, b, atol=tol)
+
+
 def test_remat_mvit_block_static_args(rng):
-    """nn.remat(MultiScaleBlock, static_argnums=(2,3)) traces with the
-    static (thw, train) args (the MViTFeatures remat path)."""
+    """nn.remat(MultiScaleBlock, static_argnums=(2,3)) traces AND
+    differentiates with the static (thw, train) args passed POSITIONALLY
+    (the MViTFeatures remat path; a keyword `train=` at the call site put
+    the static index out of range inside jax.checkpoint — forward-only
+    tracing didn't catch it, gradients did, which is how --remat failed
+    on the flagship)."""
     import jax
     import jax.numpy as jnp
     from flax import linen as nn
@@ -131,3 +160,11 @@ def test_remat_mvit_block_static_args(rng):
                           stride_q=(1, 1, 1), stride_kv=(1, 1, 1))
     y2, _ = ref.apply(variables, x, (2, 4, 4), False)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-6)
+
+    # gradients must agree too (and must not raise inside jax.checkpoint)
+    g1 = jax.grad(lambda v: jnp.sum(blk.apply(v, x, (2, 4, 4), False)[0] ** 2))(
+        variables)
+    g2 = jax.grad(lambda v: jnp.sum(ref.apply(v, x, (2, 4, 4), False)[0] ** 2))(
+        variables)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
