@@ -22,7 +22,8 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mspi_tpu.ops import Sequential, conv2d, dense, gelu, layernorm, trunc_normal_init
+from mspi_tpu.ops import (Sequential, conv2d, dense, gelu, layernorm,
+                          stem_conv2d, trunc_normal_init)
 
 
 class ConvNeXtBlock2d(nn.Module):
@@ -107,7 +108,8 @@ class ConvNeXtTinyFeatures(nn.Module):
 
     def setup(self):
         self.stem = Sequential([
-            conv2d(3, self.dims[0], 4, stride=4, kernel_init=trunc_normal_init(0.02)),
+            stem_conv2d(3, self.dims[0], 4, stride=4,
+                        kernel_init=trunc_normal_init(0.02)),
             layernorm(epsilon=1e-6),
         ])
         stages = []

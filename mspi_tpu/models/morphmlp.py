@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mspi_tpu.config import MorphMLPConfig
-from mspi_tpu.ops import DropPath, Sequential, batchnorm, conv3d, dense, gelu, layernorm
+from mspi_tpu.ops import (DropPath, Sequential, batchnorm, conv3d, dense,
+                          gelu, layernorm, stem_conv3d)
 
 
 class Mlp(nn.Module):
@@ -171,7 +172,8 @@ class PatchEmbed(nn.Module):
     embed_dim: int
 
     def setup(self):
-        self.proj1 = conv3d(3, self.embed_dim // 2, (3, 3, 3), (2, 2, 2), (1, 1, 1))
+        self.proj1 = stem_conv3d(3, self.embed_dim // 2, (3, 3, 3), (2, 2, 2),
+                                 (1, 1, 1))
         self.norm1 = batchnorm()
         self.proj2 = conv3d(self.embed_dim // 2, self.embed_dim, (1, 3, 3), (1, 2, 2), (0, 1, 1))
         self.norm2 = batchnorm()

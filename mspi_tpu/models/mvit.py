@@ -29,6 +29,8 @@ from mspi_tpu.config import MViTConfig
 from mspi_tpu.models.videoswin import ModuleList
 from mspi_tpu.ops import (DropPath, conv3d, dense, gelu, layernorm, max_pool,
                           resize_to, trunc_normal_init)
+from mspi_tpu.ops.layers import (default_compute_dtype, dense_split,
+                                 stem_conv3d, torch_kernel_init)
 
 
 def round_width(width, multiplier, min_width=1, divisor=1):
@@ -184,15 +186,38 @@ def augment_for_fused_attn(q, k, q_shape, k_shape, scale,
     return q_aug, k_aug
 
 
-def apply_attention_pool(conv, x: jnp.ndarray, thw: Tuple[int, int, int]):
-    """Depthwise conv pooling of one attention stream (attention_pool +
-    conv-mode pool, MViT.py:170-204, 1090-1135): operates per head on
-    [B, heads, L, head_dim] with a shared depthwise filter."""
-    B, H, L, C = x.shape
-    T, Hh, Ww = thw
-    y = conv(x.reshape(B * H, T, Hh, Ww, C))
-    new_thw = y.shape[1:4]
-    return y.reshape(B, H, -1, C), tuple(new_thw)
+class HeadPool(nn.Module):
+    """Depthwise attention-stream pooling (conv-mode attention_pool,
+    MViT.py:170-204, 1090-1135) on head-major [B, H, N, head] streams.
+
+    Param tree is identical to the nn.Conv the torch weights map to
+    (kernel [kt,kh,kw,1,head_dim]).  A packed-layout variant (one
+    feature-grouped conv on [B,N,H*head] with the filter tiled across
+    heads) measured 0.03 ms standalone but ~13 ms inside the full flagship
+    graph — XLA rewrote the grouped conv out of its depthwise fast path
+    under the model's layout constraints (r3 null; see ROUND3_NOTES.md) —
+    so the pools stay per-head."""
+
+    head_dim: int
+    kernel: Tuple[int, int, int]
+    stride: Tuple[int, int, int]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, thw: Tuple[int, int, int]):
+        B, H, N, D = x.shape
+        T, Hh, Ww = thw
+        w = self.param("kernel", torch_kernel_init,
+                       (*self.kernel, 1, self.head_dim))
+        from flax.linen.dtypes import promote_dtype
+
+        x, w = promote_dtype(x, w, dtype=default_compute_dtype())
+        y = jax.lax.conv_general_dilated(
+            x.reshape(B * H, T, Hh, Ww, D), w,
+            window_strides=self.stride,
+            padding=[(k // 2, k // 2) for k in self.kernel],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=D)
+        return y.reshape(B, H, -1, D), tuple(y.shape[1:4])
 
 
 class MultiScaleAttention(nn.Module):
@@ -214,16 +239,20 @@ class MultiScaleAttention(nn.Module):
 
     def setup(self):
         head_dim = self.dim_out // self.num_heads
-        self.qkv = dense(self.dim, self.dim_out * 3, bias=self.qkv_bias)
+        # dense_split: identical param tree to the fused qkv Linear, but the
+        # weight is sliced at trace time so q/k/v come out of the matmul
+        # lane-packed [B, N, H*head] with no [3,B,H,N,D] transpose+slice
+        # copies (profiled at ~9 ms/iter on the flagship stage-1 blocks).
+        self.qkv = dense_split(self.dim, self.dim_out * 3,
+                               (self.dim_out, 2 * self.dim_out),
+                               bias=self.qkv_bias)
         self.proj = dense(self.dim_out, self.dim_out)
 
         self.has_pool_q = not (math.prod(self.kernel_q) == 1 and math.prod(self.stride_q) == 1)
         self.has_pool_kv = not (math.prod(self.kernel_kv) == 1 and math.prod(self.stride_kv) == 1)
 
         def pool_conv(kernel, stride):
-            return conv3d(head_dim, head_dim, kernel, stride,
-                          tuple(k // 2 for k in kernel), groups=head_dim,
-                          bias=False)
+            return HeadPool(head_dim, tuple(kernel), tuple(stride))
 
         if self.has_pool_q:
             self.pool_q = pool_conv(self.kernel_q, self.stride_q)
@@ -250,18 +279,25 @@ class MultiScaleAttention(nn.Module):
         B, N, _ = x.shape
         H = self.num_heads
         head = self.dim_out // H
-        qkv = self.qkv(x).reshape(B, N, 3, H, head).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]  # [B, H, N, head]
+        # q/k/v come out of the sliced matmul packed [B, N, H*head] — no
+        # [3,B,H,N,D] transpose+slice copies (profiled ~9 ms/iter on the
+        # stage-1 blocks); each stream pays one head split (free for H == 1)
+        q, k, v = self.qkv(x)
+
+        def heads(y):
+            return y.reshape(B, -1, H, head).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
 
         if self.has_pool_q:
-            q, q_shape = apply_attention_pool(self.pool_q, q, thw)
+            q, q_shape = self.pool_q(q, thw)
             q = self.norm_q(q)
         else:
             q_shape = thw
         if self.has_pool_kv:
-            k, k_shape = apply_attention_pool(self.pool_k, k, thw)
+            k, k_shape = self.pool_k(k, thw)
             k = self.norm_k(k)
-            v, _ = apply_attention_pool(self.pool_v, v, thw)
+            v, _ = self.pool_v(v, thw)
             v = self.norm_v(v)
         else:
             k_shape = thw
@@ -463,7 +499,8 @@ class PatchEmbedMViT(nn.Module):
     embed_dim: int
 
     def setup(self):
-        self.proj = conv3d(3, self.embed_dim, self.kernel, self.stride, self.padding)
+        self.proj = stem_conv3d(3, self.embed_dim, self.kernel, self.stride,
+                                self.padding)
 
     def __call__(self, x):
         y = self.proj(x)

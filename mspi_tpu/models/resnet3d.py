@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mspi_tpu.ops import adaptive_avg_pool, batchnorm, conv3d, max_pool
+from mspi_tpu.ops import (adaptive_avg_pool, batchnorm, conv3d, max_pool,
+                          stem_conv3d)
 
 
 def round_width(width, multiplier, min_width=1, divisor=1):
@@ -77,8 +78,10 @@ class ResNetBasicStem(nn.Module):
     padding: Tuple[int, int, int]
 
     def setup(self):
-        self.conv = conv3d(self.dim_in, self.dim_out, self.kernel, self.stride,
-                           self.padding, bias=False)
+        conv_fn = stem_conv3d if self.dim_in <= 4 else (
+            lambda *a, bias: conv3d(*a, bias=bias))
+        self.conv = conv_fn(self.dim_in, self.dim_out, self.kernel,
+                            self.stride, self.padding, bias=False)
         self.bn = batchnorm()
 
     def __call__(self, x, train: bool = False):
@@ -98,8 +101,10 @@ class X3DStem(nn.Module):
 
     def setup(self):
         k, s, p = self.kernel, self.stride, self.padding
-        self.conv_xy = conv3d(self.dim_in, self.dim_out, (1, k[1], k[2]),
-                              (1, s[1], s[2]), (0, p[1], p[2]), bias=False)
+        conv_fn = stem_conv3d if self.dim_in <= 4 else (
+            lambda *a, bias: conv3d(*a, bias=bias))
+        self.conv_xy = conv_fn(self.dim_in, self.dim_out, (1, k[1], k[2]),
+                               (1, s[1], s[2]), (0, p[1], p[2]), bias=False)
         self.conv = conv3d(self.dim_out, self.dim_out, (k[0], 1, 1),
                            (s[0], 1, 1), (p[0], 0, 0), groups=self.dim_out,
                            bias=False)

@@ -28,7 +28,7 @@ from flax import linen as nn
 
 from mspi_tpu.config import MViTConfig
 from mspi_tpu.models.mvit import (Mlp, MultiScaleAttention, PatchEmbedMViT,
-                                  apply_attention_pool, round_width)
+                                  round_width)
 from mspi_tpu.models.videoswin import ModuleList
 from mspi_tpu.ops import dense, layernorm, max_pool
 
@@ -137,7 +137,7 @@ class StageTransitionBlock(nn.Module):
         B, L, C = x_res.shape
         H = self.F.attn.num_heads
         xr = x_res.reshape(B, L, H, C // H).transpose(0, 2, 1, 3)
-        xr, new_thw = apply_attention_pool(self.F.attn.pool_q, xr, thw)
+        xr, new_thw = self.F.attn.pool_q(xr, thw)
         xr = self.F.attn.norm_q(xr)
         x_res = xr.transpose(0, 2, 1, 3).reshape(B, -1, C)
 

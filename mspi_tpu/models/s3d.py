@@ -20,7 +20,7 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mspi_tpu.ops import MaxPool, Sequential, batchnorm, conv3d
+from mspi_tpu.ops import MaxPool, Sequential, batchnorm, conv3d, stem_conv3d
 
 BN_EPS = 1e-3
 BN_MOMENTUM = 0.001
@@ -56,8 +56,13 @@ class SepConv3d(nn.Module):
 
     def setup(self):
         k, s, p = self.kernel_size, self.stride, self.padding
-        self.conv_s = conv3d(self.in_features, self.features, (1, k, k),
-                             (1, s, s), (0, p, p), bias=False)
+        # the 3-channel stem instance (base1's SepConv3d(3,64,7,2,3)) runs
+        # ~10x off the MXU roofline as a plain conv; stem_conv3d lowers it
+        # via space-to-depth (exact) and is a no-op pass-through for s == 1
+        conv_fn = stem_conv3d if self.in_features <= 4 else (
+            lambda *a, bias: conv3d(*a, bias=bias))
+        self.conv_s = conv_fn(self.in_features, self.features, (1, k, k),
+                              (1, s, s), (0, p, p), bias=False)
         self.bn_s = batchnorm(momentum=BN_MOMENTUM, epsilon=BN_EPS)
         self.conv_t = conv3d(self.features, self.features, (k, 1, 1),
                              (s, 1, 1), (p, 0, 0), bias=False)

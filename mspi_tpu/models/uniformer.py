@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mspi_tpu.config import UniFormerConfig
-from mspi_tpu.ops import (DropPath, Sequential, batchnorm, conv3d, dense,
+from mspi_tpu.ops import (DropPath, Sequential, batchnorm, conv3d, dense, stem_conv3d,
                           dense_split, gelu, layernorm)
 
 
@@ -268,7 +268,8 @@ class SpecialPatchEmbed(nn.Module):
 
     def setup(self):
         self.norm = layernorm()
-        self.proj = conv3d(self.in_dim, self.embed_dim, (3, 4, 4), (2, 4, 4), (1, 0, 0))
+        self.proj = stem_conv3d(self.in_dim, self.embed_dim, (3, 4, 4),
+                                (2, 4, 4), (1, 0, 0))
 
     def __call__(self, x):
         return self.norm(self.proj(x))

@@ -30,7 +30,8 @@ import numpy as np
 from flax import linen as nn
 
 from mspi_tpu.config import VideoSwinConfig
-from mspi_tpu.ops import conv3d, dense, gelu, layernorm, trunc_normal_init
+from mspi_tpu.ops import (conv3d, dense, gelu, layernorm, stem_conv3d,
+                          trunc_normal_init)
 
 
 class ModuleList(nn.Module):
@@ -354,7 +355,8 @@ class PatchEmbed3D(nn.Module):
     use_norm: bool = False
 
     def setup(self):
-        self.proj = conv3d(3, self.embed_dim, self.patch_size, self.patch_size, 0)
+        self.proj = stem_conv3d(3, self.embed_dim, self.patch_size,
+                                self.patch_size, 0)
         if self.use_norm:
             self.norm = layernorm()
 

@@ -149,6 +149,142 @@ def conv2d(in_features: int, features: int, kernel_size: IntOrTuple, stride: Int
                  bias, dilation, dtype, kernel_init, bias_init, name)
 
 
+def _s2d_enabled() -> bool:
+    # stem space-to-depth rides the same twin-program gate as the Pallas
+    # kernels so bench.py's FLOPs twin counts the TRUE model FLOPs (the
+    # regrouped conv adds zero-weight taps XLA's analysis would count)
+    return not (os.environ.get("MSPI_DISABLE_PALLAS")
+                or os.environ.get("MSPI_DISABLE_S2D"))
+
+
+class StemConv(nn.Module):
+    """Low-C_in patchify conv3d as spatial space-to-depth + a fat conv.
+
+    Drop-in for conv3d(3, C_out, k, s, p): identical param tree (kernel
+    [kt,kh,kw,Cin,Cout], bias [Cout]) and exact numerics.  A stride-s
+    stem with 3 input channels gives XLA a contraction depth of 3 per
+    spatial tap, which runs ~85x off the MXU roofline (profiled 12.8 ms for
+    MViT's (3,7,7)/s(2,4,4) embed at 16x224x384 batch 8).  Regrouping the
+    padded input into stride-sized spatial blocks ([B,T,H/sh,W/sw,
+    sh*sw*Cin]) turns the same sum into a stride-1 conv over block space
+    with kernel (kt, ceil(kh/sh), ceil(kw/sw)) and an MXU-sized contraction
+    (kernel taps that fall outside the original extent carry zero weights —
+    the extra FLOPs are zeros, numerics unchanged).  The temporal axis
+    stays a real conv dim so no tensor exceeds 6-D.
+
+    The only layout cost is one transpose interleaving sh into the lane
+    dim; the W-axis regroup is a contiguous reshape.
+    """
+
+    in_features: int
+    features: int
+    kernel: Tuple[int, int, int]
+    stride: Tuple[int, int, int]
+    padding: Tuple[int, int, int]
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kt, kh, kw = self.kernel
+        st, sh, sw = self.stride
+        pt, ph, pw = self.padding
+        Cin, Cout = self.in_features, self.features
+        w = self.param("kernel", torch_kernel_init, (kt, kh, kw, Cin, Cout))
+        b = (self.param("bias", torch_bias_init(Cin * kt * kh * kw), (Cout,))
+             if self.use_bias else None)
+        from flax.linen.dtypes import promote_dtype
+
+        x, w, b = promote_dtype(x, w, b, dtype=default_compute_dtype())
+        return _s2d_conv3d(x, w, b, self.kernel, self.stride, self.padding)
+
+
+def _s2d_conv3d(x, w, b, kernel, stride, padding):
+    kt, kh, kw = kernel
+    st, sh, sw = stride
+    pt, ph, pw = padding
+    Cin, Cout = w.shape[3], w.shape[4]
+
+    if not _s2d_enabled() or (sh == 1 and sw == 1):
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(st, sh, sw),
+            padding=[(pt, pt), (ph, ph), (pw, pw)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return y + b if b is not None else y
+
+    B, T, H, W, _ = x.shape
+    out_h = (H + 2 * ph - kh) // sh + 1
+    out_w = (W + 2 * pw - kw) // sw + 1
+    kbh = (kh - 1) // sh + 1
+    kbw = (kw - 1) // sw + 1
+    Hb, Wb = out_h + kbh - 1, out_w + kbw - 1
+    pad_h, pad_w = Hb * sh - H - ph, Wb * sw - W - pw
+    assert pad_h >= 0 and pad_w >= 0, (kernel, stride, x.shape)
+    xp = jnp.pad(x, ((0, 0), (pt, pt), (ph, pad_h), (pw, pad_w), (0, 0)))
+    # W regroup is a contiguous reshape; H regroup needs one transpose
+    xp = xp.reshape(B, T + 2 * pt, Hb, sh, Wb, sw * Cin)
+    xp = xp.transpose(0, 1, 2, 4, 3, 5).reshape(
+        B, T + 2 * pt, Hb, Wb, sh * sw * Cin)
+    # weight: pad each spatial kernel dim to block multiples (zero taps),
+    # then regroup to [kt, kbh, kbw, sh*sw*Cin, Cout] in the same
+    # (dh, dw, ci) flatten order as the input blocks
+    wp = jnp.pad(w, ((0, 0), (0, kbh * sh - kh), (0, kbw * sw - kw),
+                     (0, 0), (0, 0)))
+    wp = wp.reshape(kt, kbh, sh, kbw, sw, Cin, Cout)
+    wp = wp.transpose(0, 1, 3, 2, 4, 5, 6).reshape(
+        kt, kbh, kbw, sh * sw * Cin, Cout)
+    y = jax.lax.conv_general_dilated(
+        xp, wp, window_strides=(st, 1, 1), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return y + b if b is not None else y
+
+
+class StemConv2D(nn.Module):
+    """2-D per-frame variant of StemConv (identical nn.Conv param tree,
+    kernel [kh,kw,Cin,Cout]); used for the ConvNeXt patchify stem."""
+
+    in_features: int
+    features: int
+    kernel: Tuple[int, int]
+    stride: Tuple[int, int]
+    padding: Tuple[int, int]
+    use_bias: bool = True
+    kernel_init: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel
+        Cin, Cout = self.in_features, self.features
+        w = self.param("kernel", self.kernel_init or torch_kernel_init,
+                       (kh, kw, Cin, Cout))
+        b = (self.param("bias", torch_bias_init(Cin * kh * kw), (Cout,))
+             if self.use_bias else None)
+        from flax.linen.dtypes import promote_dtype
+
+        x, w, b = promote_dtype(x, w, b, dtype=default_compute_dtype())
+        y = _s2d_conv3d(x[:, None], w[None], b, (1, kh, kw),
+                        (1, *self.stride), (0, *self.padding))
+        return y[:, 0]
+
+
+def stem_conv3d(in_features: int, features: int, kernel_size: IntOrTuple,
+                stride: IntOrTuple = 1, padding: IntOrTuple = 0,
+                bias: bool = True, name: Optional[str] = None) -> StemConv:
+    """conv3d for low-C_in patchify stems (space-to-depth lowering)."""
+    return StemConv(in_features, features, _to_tuple(kernel_size, 3),
+                    _to_tuple(stride, 3), _to_tuple(padding, 3),
+                    use_bias=bias, name=name)
+
+
+def stem_conv2d(in_features: int, features: int, kernel_size: IntOrTuple,
+                stride: IntOrTuple = 1, padding: IntOrTuple = 0,
+                bias: bool = True, kernel_init=None,
+                name: Optional[str] = None) -> StemConv2D:
+    """conv2d for low-C_in patchify stems (space-to-depth lowering)."""
+    return StemConv2D(in_features, features, _to_tuple(kernel_size, 2),
+                      _to_tuple(stride, 2), _to_tuple(padding, 2),
+                      use_bias=bias, kernel_init=kernel_init, name=name)
+
+
 def dense(in_features: int, features: int, bias: bool = True, dtype=None,
           kernel_init=None, bias_init=None, name: Optional[str] = None) -> nn.Dense:
     """torch nn.Linear equivalent."""

@@ -57,6 +57,45 @@ def test_conv2d_parity(rng):
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
 
 
+def test_stem_conv3d_s2d_parity(rng):
+    """Space-to-depth stem lowering is an exact reindexing of the conv:
+    the MViT (3,7,7)/s(2,4,4)/p(1,3,3) patchify geometry vs torch."""
+    x = rng.standard_normal((2, 3, 8, 28, 44)).astype(np.float32)  # NCTHW
+    w, b, wj = _conv3d_pair(rng, 3, 16, (3, 7, 7))
+    ref = F.conv3d(torch.tensor(x), torch.tensor(w), torch.tensor(b),
+                   stride=(2, 4, 4), padding=(1, 3, 3)).numpy()
+    mod = L.stem_conv3d(3, 16, (3, 7, 7), stride=(2, 4, 4), padding=(1, 3, 3))
+    xj = jnp.transpose(jnp.array(x), (0, 2, 3, 4, 1))
+    out = mod.apply({"params": {"kernel": jnp.array(wj), "bias": jnp.array(b)}}, xj)
+    out = np.transpose(np.array(out), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+    # the plain-conv twin (MSPI_DISABLE_S2D) must agree exactly
+    import os
+
+    os.environ["MSPI_DISABLE_S2D"] = "1"
+    try:
+        twin = mod.apply({"params": {"kernel": jnp.array(wj), "bias": jnp.array(b)}}, xj)
+    finally:
+        os.environ.pop("MSPI_DISABLE_S2D")
+    np.testing.assert_allclose(np.array(twin), np.transpose(out, (0, 2, 3, 4, 1)),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_stem_conv2d_s2d_parity(rng):
+    """ConvNeXt 4x4/s4 patchify stem through the 2-D s2d path vs torch."""
+    x = rng.standard_normal((3, 3, 32, 48)).astype(np.float32)
+    w = rng.standard_normal((10, 3, 4, 4)).astype(np.float32) * 0.1
+    b = rng.standard_normal((10,)).astype(np.float32) * 0.1
+    ref = F.conv2d(torch.tensor(x), torch.tensor(w), torch.tensor(b),
+                   stride=4).numpy()
+    mod = L.stem_conv2d(3, 10, 4, stride=4)
+    xj = jnp.transpose(jnp.array(x), (0, 2, 3, 1))
+    wj = np.transpose(w, (2, 3, 1, 0))
+    out = mod.apply({"params": {"kernel": jnp.array(wj), "bias": jnp.array(b)}}, xj)
+    out = np.transpose(np.array(out), (0, 3, 1, 2))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
 def test_maxpool3d_parity(rng):
     x = rng.standard_normal((2, 3, 9, 15, 17)).astype(np.float32)
     ref = F.max_pool3d(torch.tensor(x), kernel_size=(3, 3, 3), stride=(2, 2, 2),

@@ -93,6 +93,10 @@ def main():
     from mspi_tpu.utils.profiling import trace
 
     cfg = get_config(args.backbone)
+    res_env = os.environ.get("MSPI_BENCH_RES")  # e.g. "224,224" for morphmlps
+    if res_env:
+        cfg = get_config(args.backbone, {
+            "data": {"resolution": tuple(int(x) for x in res_env.split(","))}})
     h, w = cfg.data.resolution
     model = AudioVisualSaliencyModel(cfg=cfg)
     rng = np.random.default_rng(0)
