@@ -29,7 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def synth_tree(root: str, n_frames: int, size) -> str:
+def synth_tree(root: str, n_frames: int, size, n_videos: int = 6) -> str:
+    # train-mode dataset length == number of videos (one random window per
+    # video per epoch), so n_videos must cover the batch with drop_last
     marker = os.path.join(root, ".complete")
     if os.path.exists(marker):
         return root
@@ -37,7 +39,8 @@ def synth_tree(root: str, n_frames: int, size) -> str:
         os.path.abspath(__file__))), "tests"))
     from synthetic_data import build_avsp_tree
 
-    build_avsp_tree(root, datasets=tuple(("AVAD", f"v{i}") for i in range(6)),
+    build_avsp_tree(root,
+                    datasets=tuple(("AVAD", f"v{i}") for i in range(n_videos)),
                     n_frames=n_frames, size=size)
     open(marker, "w").close()
     return root
@@ -75,9 +78,11 @@ def main():
     from mspi_tpu.train.engine import (create_train_state, make_optimizer,
                                        make_train_step)
 
+    n_videos = max(6, 2 * args.batch)
+    n_frames = max(64, 16 + 8 * args.steps)
     root = args.data_root or synth_tree(
-        f"/tmp/mspi_e2e_{fsize[0]}x{fsize[1]}",
-        n_frames=16 + 4 * args.batch * args.steps, size=fsize)
+        f"/tmp/mspi_e2e_{fsize[0]}x{fsize[1]}_{n_videos}v{n_frames}f",
+        n_frames=n_frames, size=fsize, n_videos=n_videos)
 
     cfg = get_config(args.backbone, overrides={"data": {"resolution": res}})
     from mspi_tpu.models.fusion import AudioVisualSaliencyModel
