@@ -18,6 +18,7 @@ non-square inputs (224x384) work exactly as the torch code does.
 from __future__ import annotations
 
 import math
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -211,12 +212,42 @@ class HeadPool(nn.Module):
         from flax.linen.dtypes import promote_dtype
 
         x, w = promote_dtype(x, w, dtype=default_compute_dtype())
-        y = jax.lax.conv_general_dilated(
-            x.reshape(B * H, T, Hh, Ww, D), w,
-            window_strides=self.stride,
-            padding=[(k // 2, k // 2) for k in self.kernel],
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            feature_group_count=D)
+        kt, kh, kw = self.kernel
+        if (kt > 1 and kt % 2 == 1 and self.stride[0] == 1 and T > 1
+                and os.environ.get("MSPI_POOL_TSPLIT", "0") == "1"):
+            # Exact temporal-slice decomposition: kt bt-flattened 2-D
+            # kh x kw depthwise convs (XLA's fast path) + a shifted
+            # temporal sum:  out[t] = sum_dt conv2d(x[t + dt - kt//2], w[dt])
+            # Measured NULL on the flagship (62.5 vs 63.7 clips/s): the kt
+            # materialized full-size conv outputs + shifted adds cost more
+            # than the slow 5-D depthwise lowering they replace.  Kept
+            # gated (default off) with a parity test; see ROUND3_NOTES.md.
+            x4 = x.reshape(B * H * T, Hh, Ww, D)
+            parts = []
+            for dt in range(kt):
+                c = jax.lax.conv_general_dilated(
+                    x4, w[dt],
+                    window_strides=self.stride[1:],
+                    padding=[(kh // 2, kh // 2), (kw // 2, kw // 2)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=D)
+                parts.append(c.reshape(B * H, T, *c.shape[1:]))
+            y = parts[kt // 2]
+            for dt, c in enumerate(parts):
+                s = dt - kt // 2
+                if s > 0:
+                    y = y + jnp.pad(c[:, s:], ((0, 0), (0, s), (0, 0),
+                                               (0, 0), (0, 0)))
+                elif s < 0:
+                    y = y + jnp.pad(c[:, :s], ((0, 0), (-s, 0), (0, 0),
+                                               (0, 0), (0, 0)))
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.reshape(B * H, T, Hh, Ww, D), w,
+                window_strides=self.stride,
+                padding=[(k // 2, k // 2) for k in self.kernel],
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                feature_group_count=D)
         return y.reshape(B, H, -1, D), tuple(y.shape[1:4])
 
 

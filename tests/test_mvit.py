@@ -48,3 +48,46 @@ def test_mvit_parity_and_shapes(ref_mvit, rng):
     for ours, r in zip(feats, ref_feats):
         np.testing.assert_allclose(to_ncthw(np.array(ours)), r.numpy(),
                                    atol=2e-3, rtol=1e-3)
+
+
+def test_headpool_temporal_split_parity():
+    """The temporal-slice decomposition of the depthwise pool conv
+    (MSPI_POOL_TSPLIT, r3 perf: XLA's 5-D depthwise lowering is ~8x off
+    its own 2-D fast path at the stage-1 shape) is an exact algebraic
+    rewrite: fwd and grads must match the direct 3-D conv."""
+    import os
+
+    from mspi_tpu.models.mvit import HeadPool
+
+    B, H, T, Hh, Ww, D = 2, 2, 8, 6, 10, 16
+    x = jnp.asarray(np.random.RandomState(0).randn(B, H, T * Hh * Ww, D),
+                    jnp.float32)
+    prev = os.environ.get("MSPI_POOL_TSPLIT")
+    try:
+        for kernel, stride in [((3, 3, 3), (1, 1, 1)), ((3, 3, 3), (1, 2, 2)),
+                               ((3, 3, 3), (1, 8, 8))]:
+            m = HeadPool(head_dim=D, kernel=kernel, stride=stride)
+            v = m.init(jax.random.PRNGKey(0), x, (T, Hh, Ww))
+
+            def loss(v, gate, m=m):
+                os.environ["MSPI_POOL_TSPLIT"] = gate
+                y, _ = m.apply(v, x, (T, Hh, Ww))
+                return (y ** 2).sum()
+
+            os.environ["MSPI_POOL_TSPLIT"] = "1"
+            y1, s1 = m.apply(v, x, (T, Hh, Ww))
+            g1 = jax.grad(lambda v: loss(v, "1"))(v)
+            os.environ["MSPI_POOL_TSPLIT"] = "0"
+            y0, s0 = m.apply(v, x, (T, Hh, Ww))
+            g0 = jax.grad(lambda v: loss(v, "0"))(v)
+            assert s1 == s0
+            np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                       atol=1e-5)
+            for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=1e-3)
+    finally:
+        if prev is None:
+            os.environ.pop("MSPI_POOL_TSPLIT", None)
+        else:
+            os.environ["MSPI_POOL_TSPLIT"] = prev
