@@ -43,6 +43,7 @@ from mspi_tpu.ops import (
     gelu,
     layernorm,
     max_pool,
+    TemporalDWConv,
     trunc_normal_init,
 )
 
@@ -209,8 +210,10 @@ class ConvNextBlock3d(nn.Module):
 
     def setup(self):
         ti = trunc_normal_init(0.02)
-        self.dwconv_t = conv3d(self.dim, self.dim, (7, 1, 1), padding=(3, 0, 0),
-                               groups=self.dim, kernel_init=ti, bias_init=zeros)
+        # conv3d(dim, dim, (7,1,1), p(3,0,0), groups=dim); the stencil
+        # form is a measured flagship NULL, opt-in via MSPI_TDW_STENCIL
+        self.dwconv_t = TemporalDWConv(self.dim, 7, kernel_init=ti,
+                                       bias_init=zeros)
         self.dwconv_s = conv3d(self.dim, self.dim, (1, 7, 7), padding=(0, 3, 3),
                                groups=self.dim, kernel_init=ti, bias_init=zeros)
         self.norm = LayerNorm3d(self.dim)

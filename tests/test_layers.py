@@ -238,3 +238,42 @@ def test_avg_pool_parity(rng):
     out = L.avg_pool(xj, (2, 2, 2), (2, 2, 2))
     out = np.transpose(np.array(out), (0, 4, 1, 2, 3))
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_temporal_dwconv_stencil_parity():
+    """TemporalDWConv (shifted-slice stencil, r3 perf) must match the
+    direct depthwise (kt,1,1) conv exactly, fwd and grads, and expose the
+    identical param tree."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mspi_tpu.ops import TemporalDWConv, conv3d
+
+    B, T, H, W, C = 2, 4, 6, 8, 16
+    x = jnp.asarray(np.random.RandomState(0).randn(B, T, H, W, C),
+                    jnp.float32)
+    m = TemporalDWConv(C, 7)
+    v = m.init(jax.random.PRNGKey(0), x)
+    prev = os.environ.get("MSPI_TDW_STENCIL")
+    try:
+        os.environ["MSPI_TDW_STENCIL"] = "1"
+        y1 = m.apply(v, x)
+        g1 = jax.grad(lambda v: (m.apply(v, x) ** 2).sum())(v)
+        os.environ["MSPI_TDW_STENCIL"] = "0"
+        y0 = m.apply(v, x)
+        g0 = jax.grad(lambda v: (m.apply(v, x) ** 2).sum())(v)
+    finally:
+        if prev is None:
+            os.environ.pop("MSPI_TDW_STENCIL", None)
+        else:
+            os.environ["MSPI_TDW_STENCIL"] = prev
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+    ref = conv3d(C, C, (7, 1, 1), padding=(3, 0, 0), groups=C)
+    vr = ref.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree.map(lambda a: a.shape, v)
+            == jax.tree.map(lambda a: a.shape, vr))
