@@ -242,12 +242,30 @@ class HeadPool(nn.Module):
                     y = y + jnp.pad(c[:, :s], ((0, 0), (-s, 0), (0, 0),
                                                (0, 0), (0, 0)))
         else:
-            y = jax.lax.conv_general_dilated(
-                x.reshape(B * H, T, Hh, Ww, D), w,
-                window_strides=self.stride,
-                padding=[(k // 2, k // 2) for k in self.kernel],
-                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-                feature_group_count=D)
+            from mspi_tpu.ops.pallas import pallas_enabled, pallas_interpret
+            from mspi_tpu.ops.pallas.dwconv import (dwconv3d_supported,
+                                                    fused_dwconv3d)
+
+            x5 = x.reshape(B * H, T, Hh, Ww, D)
+            if (pallas_enabled()
+                    and os.environ.get("MSPI_DWCONV", "0") == "1"
+                    and dwconv3d_supported(x5.shape, self.kernel,
+                                           self.stride)):
+                # Measured NULL (60.2 vs 63.7 clips/s flagship): isolated
+                # XLA already runs this conv at 3.4 TFLOP/s
+                # (tools/bench_dwconv3d.py) — the 4.3 ms the r3 profile
+                # attributes to it is a layout/fusion artifact of the full
+                # graph, and the Pallas kernel (0.61 TFLOP/s: serialized
+                # slab DMAs + unaligned sublane taps) loses to both.
+                # Opt-in via MSPI_DWCONV=1; see ROUND3_NOTES.md.
+                y = fused_dwconv3d(x5, w, interpret=pallas_interpret())
+            else:
+                y = jax.lax.conv_general_dilated(
+                    x5, w,
+                    window_strides=self.stride,
+                    padding=[(k // 2, k // 2) for k in self.kernel],
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                    feature_group_count=D)
         return y.reshape(B, H, -1, D), tuple(y.shape[1:4])
 
 
