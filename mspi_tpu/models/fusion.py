@@ -140,7 +140,10 @@ class Block(nn.Module):
         from mspi_tpu.ops.pallas.mlp import maybe_fused_ln_mlp
 
         x = x + self.attn(self.norm1(x))
-        y = maybe_fused_ln_mlp(self.norm2, self.mlp, x)
+        # deterministic=True: this block is train-agnostic (no dropout /
+        # drop-path), and MSPI_QUANT=int8 is an inference-only mode — a
+        # training step with it set fails loudly at the kernel's missing VJP
+        y = maybe_fused_ln_mlp(self.norm2, self.mlp, x, deterministic=True)
         x = x + (y if y is not None else self.mlp(self.norm2(x)))
         return x
 

@@ -448,7 +448,7 @@ class MultiScaleBlock(nn.Module):
         x = x_res + self.dp(x_block, deterministic=det)
         from mspi_tpu.ops.pallas.mlp import maybe_fused_ln_mlp
 
-        y = maybe_fused_ln_mlp(self.norm2, self.mlp, x)
+        y = maybe_fused_ln_mlp(self.norm2, self.mlp, x, deterministic=det)
         if y is None:
             y = self.mlp(self.norm2(x))
         x = x + self.dp(y, deterministic=det)

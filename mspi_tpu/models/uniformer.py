@@ -156,7 +156,7 @@ class SABlock(nn.Module):
         t = t + self.dp(self.attn(self.norm1(t)), deterministic=det)
         from mspi_tpu.ops.pallas.mlp import maybe_fused_ln_mlp
 
-        y = maybe_fused_ln_mlp(self.norm2, self.mlp, t)
+        y = maybe_fused_ln_mlp(self.norm2, self.mlp, t, deterministic=det)
         if y is None:
             y = self.mlp(self.norm2(t))
         t = t + self.dp(y, deterministic=det)

@@ -244,7 +244,10 @@ class SwinTransformerBlock3D(nn.Module):
         from mspi_tpu.ops.pallas.mlp import maybe_fused_ln_mlp
 
         x = x + self._attention_part(x, mask)
-        y = maybe_fused_ln_mlp(self.norm2, self.mlp, x)
+        # deterministic=True: VideoSwin-S runs drop_path 0 so blocks carry no
+        # train flag; MSPI_QUANT=int8 is inference-only (training with it set
+        # fails loudly at the kernel's missing VJP)
+        y = maybe_fused_ln_mlp(self.norm2, self.mlp, x, deterministic=True)
         x = x + (y if y is not None else self.mlp(self.norm2(x)))
         return x
 

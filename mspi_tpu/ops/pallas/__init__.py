@@ -17,3 +17,14 @@ def pallas_enabled() -> bool:
 
 def pallas_interpret() -> bool:
     return bool(os.environ.get("MSPI_PALLAS_INTERPRET"))
+
+
+def quant_int8_enabled() -> bool:
+    """Int8 inference mode (MSPI_QUANT=int8): transformer matmuls with
+    C >= 256 run int8 weights x dynamically-quantized int8 activations on
+    the MXU (v5e int8 peak = 2x bf16; measured 1.8x at the MViT stage-3/4
+    MLP shapes, tools/bench_int8.py).  Inference-only — call sites gate on
+    their train/deterministic flag; params stay fp32/bf16 and are quantized
+    per-output-channel at trace time, so checkpoints and the converter are
+    untouched."""
+    return os.environ.get("MSPI_QUANT", "") == "int8" and pallas_enabled()

@@ -493,11 +493,16 @@ def fused_ln_mlp(x, g, be, w1, b1, w2, b2, eps: float = 1e-6,
     return out[:, :N] if pad else out
 
 
-def maybe_fused_ln_mlp(norm_module, mlp_module, x):
+def maybe_fused_ln_mlp(norm_module, mlp_module, x, deterministic=None):
     """Block-level accelerator for `mlp(norm(x))` where norm is a LayerNorm
     and mlp has dense fc1/fc2: returns the fused result (caller adds the
-    residual / drop-path), or None for the plain path."""
-    from mspi_tpu.ops.pallas import pallas_enabled, pallas_interpret
+    residual / drop-path), or None for the plain path.
+
+    `deterministic=True` (i.e. inference) additionally enables the int8
+    MXU path when MSPI_QUANT=int8 and the channel width clears the
+    measured win threshold (tools/bench_int8.py)."""
+    from mspi_tpu.ops.pallas import (pallas_enabled, pallas_interpret,
+                                     quant_int8_enabled)
 
     if mlp_module.is_initializing() or not pallas_enabled():
         return None
@@ -514,6 +519,12 @@ def maybe_fused_ln_mlp(norm_module, mlp_module, x):
     dt = getattr(mlp_module.fc1, "dtype", None) or x.dtype
     shape = x.shape
     x3 = x.reshape(shape[0], -1, C) if x.ndim != 3 else x
+    if deterministic and quant_int8_enabled() and C >= QUANT_MIN_C:
+        out = fused_ln_mlp_int8(
+            x3.astype(dt), pn["scale"], pn["bias"], p1["kernel"], p1["bias"],
+            p2["kernel"], p2["bias"], eps=float(norm_module.epsilon),
+            interpret=pallas_interpret())
+        return out.reshape(shape)
     out = fused_ln_mlp(x3.astype(dt), pn["scale"].astype(dt),
                        pn["bias"].astype(dt), p1["kernel"].astype(dt),
                        p1["bias"].astype(dt), p2["kernel"].astype(dt),
@@ -521,3 +532,88 @@ def maybe_fused_ln_mlp(norm_module, mlp_module, x):
                        eps=float(norm_module.epsilon),
                        interpret=pallas_interpret())
     return out.reshape(shape)
+
+
+# ---------------- int8 inference variant ----------------
+#
+# Inference-only forward: weights are quantized per-output-channel at trace
+# time (params stay fp32 — checkpoints/converter untouched), activations are
+# quantized per row in-kernel (abs-max symmetric), and both matmuls run
+# int8 x int8 -> int32 on the MXU (v5e peak 2x bf16; measured 1.82x at the
+# MViT stage-3 MLP shape, tools/bench_int8.py).  Below C=256 the per-row
+# quantization VPU work outweighs the matmul saving (measured at the
+# ConvNeXt prior shape) — callers gate on QUANT_MIN_C.
+
+QUANT_MIN_C = 256
+# live per-hidden-element VMEM in the int8 fwd: u f32 + h f32 + hq int8
+_Q_HIDDEN_BYTES = 9
+
+
+def _quant_rows(xf):
+    """Per-row abs-max symmetric int8 quantization of an f32 tile.
+    One divide per ROW (not per element — VPU divides are the expensive
+    transcendental here, see _erf)."""
+    amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6)
+    inv = 127.0 / amax
+    q = jnp.round(xf * inv).astype(jnp.int8)
+    return q, amax * (1.0 / 127.0)
+
+
+def _ln_fwd_kernel_q(x_ref, g_ref, be_ref, w1_ref, s1_ref, b1_ref,
+                     w2_ref, s2_ref, b2_ref, out_ref, *, eps):
+    x = x_ref[0]
+    _, _, _, z = _ln_f32(x, g_ref[0], be_ref[0], eps)
+    zq, sz = _quant_rows(z)
+    u = jax.lax.dot_general(
+        zq, w1_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    u = u.astype(jnp.float32) * (sz * s1_ref[0]) + b1_ref[0]
+    h = _gelu_f32(u, fast=True)
+    hq, sh = _quant_rows(h)
+    y = jax.lax.dot_general(
+        hq, w2_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (sh * s2_ref[0]) + b2_ref[0]
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def quantize_weight(w):
+    """Per-output-channel (last axis) symmetric int8: w ~= w_q * scale.
+    Returns (w_q int8, scale f32 [1, out])."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(wf), axis=0, keepdims=True), 1e-12)
+    wq = jnp.round(wf * (127.0 / amax)).astype(jnp.int8)
+    return wq, amax * (1.0 / 127.0)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def fused_ln_mlp_int8(x, g, be, w1, b1, w2, b2, eps: float = 1e-6,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Int8 forward of fc2(gelu(fc1(LN(x)))); fp32 params in, x in the
+    storage dtype.  No VJP — inference only."""
+    B, N, C = x.shape
+    H = w1.shape[1]
+    w1q, s1 = quantize_weight(w1)
+    w2q, s2 = quantize_weight(w2)
+    TR = _tile_rows(N, H, _Q_HIDDEN_BYTES)
+    pad = -N % TR
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    Np = N + pad
+    x_spec = pl.BlockSpec((1, TR, C), lambda b, t: (b, t, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = lambda a, b_: pl.BlockSpec((a, b_), lambda b, t: (0, 0),
+                                        memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    out = pl.pallas_call(
+        functools.partial(_ln_fwd_kernel_q, eps=eps),
+        grid=(B, Np // TR),
+        in_specs=[x_spec, w_spec(1, C), w_spec(1, C), w_spec(C, H),
+                  w_spec(1, H), w_spec(1, H), w_spec(H, C), w_spec(1, C),
+                  w_spec(1, C)],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Np, C), x.dtype),
+        interpret=interpret,
+    )(x, g.astype(f32).reshape(1, C), be.astype(f32).reshape(1, C), w1q, s1,
+      b1.astype(f32).reshape(1, H), w2q, s2, b2.astype(f32).reshape(1, C))
+    return out[:, :N] if pad else out

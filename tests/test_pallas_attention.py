@@ -500,3 +500,67 @@ def test_fused_attention_bwd_tile_matches_fwd_tile(rng):
         assert np.all(np.isfinite(np.asarray(a)))
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=1e-4)
+
+
+# ---------------- int8 inference mode ----------------
+
+def test_fused_ln_mlp_int8_close_to_fp32(rng):
+    """Int8 fwd (per-out-channel weight quant + per-row dynamic activation
+    quant) stays within quantization-noise distance of the fp32 LN+MLP at a
+    transformer shape, including the row-padding path (N=200)."""
+    from mspi_tpu.ops.pallas.mlp import fused_ln_mlp_int8
+
+    B, N, C, H = 2, 200, 256, 1024
+    x = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32))
+    g = jnp.asarray(1 + 0.1 * rng.standard_normal(C).astype(np.float32))
+    be = jnp.asarray(0.1 * rng.standard_normal(C).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((C, H)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.standard_normal((H,)).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.standard_normal((H, C)).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.standard_normal((C,)).astype(np.float32) * 0.1)
+
+    def ref(x):
+        from mspi_tpu.ops import gelu
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        z = (xf - mu) * jax.lax.rsqrt(var + 1e-6) * g + be
+        return gelu(z @ w1 + b1) @ w2 + b2
+
+    out = np.asarray(fused_ln_mlp_int8(x, g, be, w1, b1, w2, b2,
+                                       interpret=True), np.float32)
+    want = np.asarray(ref(x), np.float32)
+    assert out.shape == want.shape
+    err = np.sqrt(np.mean((out - want) ** 2))
+    rms = np.sqrt(np.mean(want ** 2))
+    assert err < 0.02 * rms, (err, rms)
+    cc = np.corrcoef(out.ravel(), want.ravel())[0, 1]
+    assert cc > 0.999, cc
+
+
+def test_mvit_block_routes_int8_at_inference(rng, monkeypatch):
+    """MSPI_QUANT=int8: the MViT block takes the int8 MLP path at inference
+    (deterministic=True) and stays close to the fp32 output; with
+    train=True the bf16/fp32 fused path is kept bit-for-bit."""
+    from mspi_tpu.models.mvit import MultiScaleBlock
+
+    blk = MultiScaleBlock(dim=256, dim_out=256, num_heads=4,
+                          input_size=(2, 8, 8), mlp_ratio=4.0, qkv_bias=True,
+                          drop_path=0.0, kernel_q=(1, 1, 1),
+                          kernel_kv=(1, 1, 1), stride_q=(1, 1, 1),
+                          stride_kv=(1, 1, 1))
+    x = jnp.asarray(rng.standard_normal((1, 128, 256)).astype(np.float32))
+    v = blk.init(jax.random.PRNGKey(0), x, (2, 8, 8))
+    monkeypatch.setenv("MSPI_PALLAS_INTERPRET", "1")
+    ref, _ = blk.apply(v, x, (2, 8, 8))
+    monkeypatch.setenv("MSPI_QUANT", "int8")
+    out, _ = blk.apply(v, x, (2, 8, 8))
+    train_out, _ = blk.apply(v, x, (2, 8, 8), True,
+                             rngs={"dropout": jax.random.PRNGKey(1)})
+    refn, outn = np.asarray(ref), np.asarray(out)
+    assert not np.allclose(refn, outn)  # int8 path actually taken
+    err = np.sqrt(np.mean((outn - refn) ** 2))
+    rms = np.sqrt(np.mean(refn ** 2))
+    assert err < 0.02 * rms, (err, rms)
+    # train path must NOT quantize (drop_path 0 -> deterministic values)
+    np.testing.assert_allclose(np.asarray(train_out), refn, atol=1e-6)
