@@ -43,6 +43,7 @@ from mspi_tpu.ops import (
     gelu,
     layernorm,
     max_pool,
+    pconv3d,
     TemporalDWConv,
     trunc_normal_init,
 )
@@ -220,15 +221,27 @@ class ConvNextBlock3d(nn.Module):
         self.dwconv_s = conv3d(self.dim, self.dim, (1, 7, 7), padding=(0, 3, 3),
                                groups=self.dim, kernel_init=ti, bias_init=zeros)
         self.norm = LayerNorm3d(self.dim)
-        self.pwconv1 = conv3d(self.dim, 4 * self.dim, 1, kernel_init=ti, bias_init=zeros)
-        self.pwconv2 = conv3d(4 * self.dim, self.dim, 1, kernel_init=ti, bias_init=zeros)
+        # 1x1x1 convs as token matmuls (identical param tree): XLA's conv
+        # emitter runs these ~12x off the matmul roofline on the decoder's
+        # small-T 5-D tensors (r3 HLO: pwconv2 estimated 3.19 ms at
+        # [8,4,56,96,192])
+        self.pwconv1 = pconv3d(self.dim, 4 * self.dim, kernel_init=ti,
+                               bias_init=zeros)
+        self.pwconv2 = pconv3d(4 * self.dim, self.dim, kernel_init=ti,
+                               bias_init=zeros)
 
     def __call__(self, x, train: bool = False):
         inp = x
         x = self.dwconv_s(self.dwconv_t(x))
-        x = self.norm(x)
-        x = self.pwconv2(gelu(self.pwconv1(x)))
-        return inp + x
+        from mspi_tpu.ops.pallas.mlp import maybe_fused_ln_mlp_pw
+
+        # LN + pwconv1 + GELU + pwconv2 in one Pallas kernel: keeps the 4x
+        # hidden in VMEM and skips the unfused LN stat reductions
+        y = maybe_fused_ln_mlp_pw(self.norm.norm, self.pwconv1, self.pwconv2,
+                                  x, deterministic=not train)
+        if y is None:
+            y = self.pwconv2(gelu(self.pwconv1(self.norm(x))))
+        return inp + y
 
 
 class SA(nn.Module):
@@ -340,7 +353,7 @@ def _predictor(hidden: int) -> Sequential:
 def _latlayer(in_dim: int, de_dim: int, temporal: bool, stride: int) -> Sequential:
     """Lateral decoder layer (model_utils.py:437-484): 1x1x1 embed, optional
     temporal-stride conv, factorised ConvNeXt block."""
-    layers = [conv3d(in_dim, de_dim, 1, 1, 0)]
+    layers = [pconv3d(in_dim, de_dim)]
     if temporal:
         layers.append(conv3d(de_dim, de_dim, (stride, 1, 1), (stride, 1, 1), bias=False))
     layers.append(ConvNextBlock3d(de_dim))
@@ -361,7 +374,7 @@ def _readout(de_dim: int) -> Sequential:
     - the final 32->1 conv is a MapConv3d emitting [B,T,H,W] directly
       (see its docstring; identical params)."""
     return Sequential([
-        conv3d(de_dim * 4, de_dim, 1, 1, 0),
+        pconv3d(de_dim * 4, de_dim),
         conv3d(de_dim, de_dim, 3, 1, 1),
         batchnorm(), ReLU(),
         conv3d(de_dim, 64, (1, 3, 3), 1, (0, 1, 1)),

@@ -149,6 +149,56 @@ def conv2d(in_features: int, features: int, kernel_size: IntOrTuple, stride: Int
                  bias, dilation, dtype, kernel_init, bias_init, name)
 
 
+class PointwiseConv3d(nn.Module):
+    """1x1x1 conv3d applied as an explicit token matmul — identical param
+    tree to nn.Conv (kernel [1,1,1,Cin,Cout], bias [Cout]) and the same
+    contraction, so checkpoints/converter are untouched.
+
+    XLA's TPU conv emitters schedule the decoder's 1x1x1 convs on small-T
+    5-D tensors with EmitAllBatchInSublanes at ~12x off the matmul roofline
+    (r3 HLO: latlayer_0 pwconv2 bf16[8,4,56,96,192] estimated 3.19 ms vs a
+    ~0.26 ms dot).  dot_general over [..., Cin] gets the plain MXU matmul
+    emitter instead.  MSPI_DISABLE_PWMM=1 restores the nn.Conv lowering
+    for A/B."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    kernel_init: Optional[Callable] = None
+    bias_init: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", self.kernel_init or torch_kernel_init,
+                            (1, 1, 1, self.in_features, self.features))
+        bias = (self.param("bias", self.bias_init
+                           or torch_bias_init(self.in_features),
+                           (self.features,)) if self.use_bias else None)
+        from flax.linen.dtypes import promote_dtype
+
+        dt = self.dtype if self.dtype is not None else default_compute_dtype()
+        x, kernel, bias = promote_dtype(x, kernel, bias, dtype=dt)
+        if os.environ.get("MSPI_DISABLE_PWMM"):
+            y = jax.lax.conv_general_dilated(
+                x, kernel, window_strides=(1, 1, 1), padding=[(0, 0)] * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        else:
+            y = jax.lax.dot_general(
+                x, kernel[0, 0, 0],
+                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())))
+        return y + bias if bias is not None else y
+
+
+def pconv3d(in_features: int, features: int, bias: bool = True, dtype=None,
+            kernel_init=None, bias_init=None,
+            name: Optional[str] = None) -> PointwiseConv3d:
+    """Drop-in for conv3d(in, out, 1, 1, 0): matmul lowering, same params."""
+    return PointwiseConv3d(in_features, features, use_bias=bias, dtype=dtype,
+                           kernel_init=kernel_init, bias_init=bias_init,
+                           name=name)
+
+
 def _s2d_enabled() -> bool:
     # stem space-to-depth rides the same twin-program gate as the Pallas
     # kernels so bench.py's FLOPs twin counts the TRUE model FLOPs (the

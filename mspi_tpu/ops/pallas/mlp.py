@@ -517,19 +517,52 @@ def maybe_fused_ln_mlp(norm_module, mlp_module, x, deterministic=None):
     if p2["kernel"].shape != (H, C) or not fits_vmem(C, H):
         return None
     dt = getattr(mlp_module.fc1, "dtype", None) or x.dtype
+    return _dispatch_ln_mlp(pn, p1["kernel"], p1["bias"], p2["kernel"],
+                            p2["bias"], float(norm_module.epsilon), x, dt,
+                            deterministic)
+
+
+def maybe_fused_ln_mlp_pw(norm_module, pw1, pw2, x, deterministic=None):
+    """ConvNextBlock3d-style accelerator: `pwconv2(gelu(pwconv1(LN(x))))`
+    where pwconv1/pwconv2 are 1x1x1 convs (kernel [1,1,1,C,H]) — the same
+    token-MLP math as maybe_fused_ln_mlp with the conv kernels viewed
+    [C, H].  Kills the decoder's pathological EmitAllBatchInSublanes conv
+    fusions AND the unfused LN stat reductions (r3 HLO/profile)."""
+    from mspi_tpu.ops.pallas import pallas_enabled
+
+    if pw1.is_initializing() or not pallas_enabled():
+        return None
+    pn = norm_module.variables["params"]
+    p1 = pw1.variables["params"]
+    p2 = pw2.variables["params"]
+    if "scale" not in pn or "bias" not in pn:
+        return None
+    if "bias" not in p1 or "bias" not in p2:
+        return None
+    k1 = p1["kernel"].reshape(p1["kernel"].shape[-2:])
+    k2 = p2["kernel"].reshape(p2["kernel"].shape[-2:])
+    C, H = k1.shape
+    if k2.shape != (H, C) or not fits_vmem(C, H):
+        return None
+    dt = getattr(pw1, "dtype", None) or x.dtype
+    return _dispatch_ln_mlp(pn, k1, p1["bias"], k2, p2["bias"],
+                            float(norm_module.epsilon), x, dt, deterministic)
+
+
+def _dispatch_ln_mlp(pn, k1, b1, k2, b2, eps, x, dt, deterministic):
+    from mspi_tpu.ops.pallas import pallas_interpret, quant_int8_enabled
+
+    C = k1.shape[0]
     shape = x.shape
     x3 = x.reshape(shape[0], -1, C) if x.ndim != 3 else x
     if deterministic and quant_int8_enabled() and C >= QUANT_MIN_C:
         out = fused_ln_mlp_int8(
-            x3.astype(dt), pn["scale"], pn["bias"], p1["kernel"], p1["bias"],
-            p2["kernel"], p2["bias"], eps=float(norm_module.epsilon),
-            interpret=pallas_interpret())
+            x3.astype(dt), pn["scale"], pn["bias"], k1, b1, k2, b2,
+            eps=eps, interpret=pallas_interpret())
         return out.reshape(shape)
     out = fused_ln_mlp(x3.astype(dt), pn["scale"].astype(dt),
-                       pn["bias"].astype(dt), p1["kernel"].astype(dt),
-                       p1["bias"].astype(dt), p2["kernel"].astype(dt),
-                       p2["bias"].astype(dt),
-                       eps=float(norm_module.epsilon),
+                       pn["bias"].astype(dt), k1.astype(dt), b1.astype(dt),
+                       k2.astype(dt), b2.astype(dt), eps=eps,
                        interpret=pallas_interpret())
     return out.reshape(shape)
 

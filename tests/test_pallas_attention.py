@@ -564,3 +564,22 @@ def test_mvit_block_routes_int8_at_inference(rng, monkeypatch):
     assert err < 0.02 * rms, (err, rms)
     # train path must NOT quantize (drop_path 0 -> deterministic values)
     np.testing.assert_allclose(np.asarray(train_out), refn, atol=1e-6)
+
+
+def test_convnext_block3d_fused_path(rng, monkeypatch):
+    """ConvNextBlock3d routes LN+pwconv1+GELU+pwconv2 through the fused
+    kernel (MSPI_PALLAS_INTERPRET=1) with matching outputs and grads."""
+    from mspi_tpu.models.fusion import ConvNextBlock3d
+
+    blk = ConvNextBlock3d(dim=24)
+    x = jnp.asarray(rng.standard_normal((2, 4, 6, 8, 24)).astype(np.float32))
+    v = blk.init(jax.random.PRNGKey(0), x)
+    ref = blk.apply(v, x)
+    g_ref = jax.grad(lambda v: jnp.sum(blk.apply(v, x) ** 2))(v)
+    monkeypatch.setenv("MSPI_PALLAS_INTERPRET", "1")
+    out = blk.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+    g = jax.grad(lambda v: jnp.sum(blk.apply(v, x) ** 2))(v)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)
