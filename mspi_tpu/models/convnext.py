@@ -55,7 +55,12 @@ class ConvNeXtBlock2d(nn.Module):
         # its native layout to A/B kernel-win vs copy-cost.
         y = None
         if os.environ.get("MSPI_PRIOR_FUSED", "1") == "1":
-            y = maybe_fused_ln_mlp(self.norm, self.mlp, x)
+            # deterministic=True: the prior is the always-frozen image
+            # encoder (engine.py FROZEN_TOPLEVEL stop-grad prunes its
+            # backward), so the fwd-only VMEM budget admits the stage-3
+            # 768x3072 MLPs here even during flagship training
+            y = maybe_fused_ln_mlp(self.norm, self.mlp, x,
+                                   deterministic=True)
         if y is None:
             y = self.mlp(self.norm(x))
         # gamma is an fp32 param: cast to the activation dtype or the

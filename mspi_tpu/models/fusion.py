@@ -137,14 +137,15 @@ class Block(nn.Module):
         self.norm2 = layernorm()
         self.mlp = Mlp(self.dim, int(self.dim * self.mlp_ratio))
 
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         from mspi_tpu.ops.pallas.mlp import maybe_fused_ln_mlp
 
         x = x + self.attn(self.norm1(x))
-        # deterministic=True: this block is train-agnostic (no dropout /
-        # drop-path), and MSPI_QUANT=int8 is an inference-only mode — a
-        # training step with it set fails loudly at the kernel's missing VJP
-        y = maybe_fused_ln_mlp(self.norm2, self.mlp, x, deterministic=True)
+        # deterministic gates the inference-only paths (int8 via
+        # MSPI_QUANT=int8, and the fwd-only VMEM budget for the 512x2048
+        # MLP whose backward accumulators would not fit)
+        y = maybe_fused_ln_mlp(self.norm2, self.mlp, x,
+                               deterministic=not train)
         x = x + (y if y is not None else self.mlp(self.norm2(x)))
         return x
 
@@ -170,7 +171,8 @@ class SyncBlock(nn.Module):
         self.vis_pos_embed = jnp.asarray(sinusoid_encoding_table(self.num_vis_tokens, 512))
         self.aud_pos_embed = jnp.asarray(sinusoid_encoding_table(self.num_aud_tokens, 512))
 
-    def __call__(self, vis_fea: jnp.ndarray, aud_fea: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, vis_fea: jnp.ndarray, aud_fea: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
         # vis_fea: [B,t,h,w,C]; aud_fea: [B,ha,wa,512] (channels-last)
         B = vis_fea.shape[0]
         vis = vis_fea.reshape(B, -1, vis_fea.shape[-1])
@@ -180,7 +182,7 @@ class SyncBlock(nn.Module):
         vis = vis + jax.lax.stop_gradient(self.vis_pos_embed.astype(vis.dtype))
         aud = aud + jax.lax.stop_gradient(self.aud_pos_embed.astype(aud.dtype))
         feas = jnp.concatenate([vis, aud], axis=1)
-        return self.blocks(feas)
+        return self.blocks(feas, train=train)
 
 
 def simsiam_d(p: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
@@ -444,7 +446,7 @@ class AudioVisualSaliencyModel(nn.Module):
 
         B, t, h, w, _ = v4.shape
         ha = aud_features.shape[1]
-        x = self.aud_vis_sync_block(v4, aud_features)
+        x = self.aud_vis_sync_block(v4, aud_features, train=train)
         n_vis = t * h * w
         vis_fea = x[:, :n_vis, :].reshape(B, t, h, w, -1)
         aud_fea = x[:, n_vis:, :].reshape(B, ha, -1, x.shape[-1])

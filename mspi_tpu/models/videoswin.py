@@ -240,14 +240,15 @@ class SwinTransformerBlock3D(nn.Module):
             x = x[:, :D, :H, :W]
         return x
 
-    def __call__(self, x, mask):
+    def __call__(self, x, mask, train: bool = False):
         from mspi_tpu.ops.pallas.mlp import maybe_fused_ln_mlp
 
         x = x + self._attention_part(x, mask)
-        # deterministic=True: VideoSwin-S runs drop_path 0 so blocks carry no
-        # train flag; MSPI_QUANT=int8 is inference-only (training with it set
-        # fails loudly at the kernel's missing VJP)
-        y = maybe_fused_ln_mlp(self.norm2, self.mlp, x, deterministic=True)
+        # deterministic gates the inference-only paths (int8 via
+        # MSPI_QUANT=int8, and the fwd-only VMEM budget for the stage-4
+        # 768x3072 MLP whose backward accumulators would not fit)
+        y = maybe_fused_ln_mlp(self.norm2, self.mlp, x,
+                               deterministic=not train)
         x = x + (y if y is not None else self.mlp(self.norm2(x)))
         return x
 
@@ -286,8 +287,10 @@ class BasicLayer(nn.Module):
 
     def setup(self):
         shift = tuple(w // 2 for w in self.window_size)
-        block_cls = (nn.remat(SwinTransformerBlock3D) if self.remat
-                     else SwinTransformerBlock3D)
+        # static_argnums counts __call__'s args WITH self (flax subtracts
+        # 1): train=3 is a static bool; mask (2) stays traced
+        block_cls = (nn.remat(SwinTransformerBlock3D, static_argnums=(3,))
+                     if self.remat else SwinTransformerBlock3D)
         self.blocks = ModuleList([
             block_cls(
                 self.dim, self.num_heads, self.window_size,
@@ -297,7 +300,7 @@ class BasicLayer(nn.Module):
         if self.has_downsample:
             self.downsample = PatchMerging(self.dim)
 
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         B, D, H, W, C = x.shape
         window_size, shift_size = get_window_size(
             (D, H, W), self.window_size, tuple(w // 2 for w in self.window_size))
@@ -306,7 +309,8 @@ class BasicLayer(nn.Module):
         Wp = -(-W // window_size[2]) * window_size[2]
         mask = jnp.asarray(_attn_mask(Dp, Hp, Wp, window_size, shift_size))
         for blk in self.blocks.layers:
-            x = blk(x, mask)
+            # positional train: jax.checkpoint statics are positional
+            x = blk(x, mask, train)
         if self.has_downsample:
             return self.downsample(x), x
         return x, x
@@ -344,7 +348,7 @@ class VideoSwinFeatures(nn.Module):
         x = self.patch_embed(x)
         features = []
         for layer in self.layers.layers:
-            x, pre = layer(x)
+            x, pre = layer(x, train=train)
             features.append(pre)
         return features
 
