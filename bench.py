@@ -70,8 +70,10 @@ def main():
     def run_n(variables, clips_u8, audio, n):
         def body(_, carry):
             c, acc = carry
-            out, _ = model.apply(variables, normalize_clip_jax(c, compute_dt),
-                                 audio, train=False)
+            # raw uint8 in: the stems fold the ImageNet affine into their
+            # weights (ops/layers.py _fold_uint8_affine), so no normalized
+            # clip is ever materialized
+            out, _ = model.apply(variables, c, audio, train=False)
             s = jnp.sum(out)
             # data-dependent but runtime-zero feedback defeats loop-invariant
             # hoisting while keeping the carry uint8 (a float carry forces a

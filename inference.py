@@ -133,7 +133,7 @@ def main():
     from mspi_tpu.config import get_config
     from mspi_tpu.data.audio import get_audio_spectrogram, load_audio_mono_16k
     from mspi_tpu.data.datasets import read_fold_list
-    from mspi_tpu.data.video import load_frame, normalize_clip_jax
+    from mspi_tpu.data.video import load_frame
     from mspi_tpu.models.fusion import AudioVisualSaliencyModel, VisualSaliencyModel
     from mspi_tpu.train import checkpoints as ckpt_lib
 
@@ -172,12 +172,13 @@ def main():
 
     @jax.jit
     def forward(clips_u8, audio):
-        clips = normalize_clip_jax(clips_u8,
-                                   jnp.bfloat16 if args.bf16 else None)
+        # raw uint8 straight into the model: the stems fold the ImageNet
+        # affine into their weights (ops/layers.py _fold_uint8_affine), so
+        # no normalized clip is materialized on device
         if args.use_sound:
-            out, _ = model.apply(variables, clips, audio, train=False)
+            out, _ = model.apply(variables, clips_u8, audio, train=False)
         else:
-            out, _ = model.apply(variables, clips, train=False)
+            out, _ = model.apply(variables, clips_u8, train=False)
         return out
 
     device_post = make_device_post() if args.device_post else None

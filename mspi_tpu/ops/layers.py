@@ -207,6 +207,38 @@ def _s2d_enabled() -> bool:
                 or os.environ.get("MSPI_DISABLE_S2D"))
 
 
+def _fold_uint8_affine(x, w, b):
+    """Raw-uint8 input support: fold the ImageNet normalization into the
+    stem's weights instead of running a full-tensor normalize pass, so the
+    uint8->compute-dtype convert fuses into the stem's own pad/regroup ops
+    and the normalized clip is never materialized (r3 profile: its relayout
+    copies feeding the two stems cost ~2.3 ms/iter at batch 8).
+
+    Exact including conv padding: the scale folds into the RGB kernel rows
+    (raw zero == scaled zero, so zero-pads stay correct), and the offset
+    rides an appended ones-channel whose kernel row is sum_c W[...,c,:]*o[c]
+    — the ones get zero-padded with the pixels, so border taps contribute
+    exactly 0 as they do in normalized space.  s[c] = 1/(255*std[c]),
+    o[c] = -mean[c]/std[c]; host-parity reference: data/video.py
+    normalize_frames."""
+    if x.dtype != jnp.uint8:
+        return x, w, b
+    assert w.shape[-2] == 3, ("uint8 input implies RGB frames; stem has "
+                              f"Cin={w.shape[-2]}")
+    from mspi_tpu.data.video import IMAGENET_MEAN, IMAGENET_STD
+
+    s = jnp.asarray(1.0 / (255.0 * IMAGENET_STD), jnp.float32)
+    o = jnp.asarray(-IMAGENET_MEAN / IMAGENET_STD, jnp.float32)
+    wf = w.astype(jnp.float32)
+    w_rgb = wf * s[:, None]
+    w_ones = jnp.sum(wf * o[:, None], axis=-2, keepdims=True)
+    w2 = jnp.concatenate([w_rgb, w_ones], axis=-2).astype(w.dtype)
+    dt = default_compute_dtype() or jnp.float32
+    xf = x.astype(dt)
+    x2 = jnp.concatenate([xf, jnp.ones_like(xf[..., :1])], axis=-1)
+    return x2, w2, b
+
+
 class StemConv(nn.Module):
     """Low-C_in patchify conv3d as spatial space-to-depth + a fat conv.
 
@@ -244,6 +276,7 @@ class StemConv(nn.Module):
              if self.use_bias else None)
         from flax.linen.dtypes import promote_dtype
 
+        x, w, b = _fold_uint8_affine(x, w, b)
         x, w, b = promote_dtype(x, w, b, dtype=default_compute_dtype())
         return _s2d_conv3d(x, w, b, self.kernel, self.stride, self.padding)
 
@@ -310,6 +343,7 @@ class StemConv2D(nn.Module):
              if self.use_bias else None)
         from flax.linen.dtypes import promote_dtype
 
+        x, w, b = _fold_uint8_affine(x, w, b)
         x, w, b = promote_dtype(x, w, b, dtype=default_compute_dtype())
         y = _s2d_conv3d(x[:, None], w[None], b, (1, kh, kw),
                         (1, *self.stride), (0, *self.padding))

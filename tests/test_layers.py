@@ -277,3 +277,38 @@ def test_temporal_dwconv_stencil_parity():
     vr = ref.init(jax.random.PRNGKey(0), x)
     assert (jax.tree.map(lambda a: a.shape, v)
             == jax.tree.map(lambda a: a.shape, vr))
+
+
+def test_stem_uint8_fold_matches_normalized(rng):
+    """Raw-uint8 clips through the stems == normalize_frames then stems:
+    the ImageNet affine is folded into the conv weights (exact linear
+    algebra, fp32 fold)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mspi_tpu.data.video import normalize_frames
+    from mspi_tpu.ops.layers import stem_conv2d, stem_conv3d
+
+    u8 = rng.integers(0, 256, (2, 6, 32, 40, 3), dtype=np.uint8)
+    norm = jnp.asarray(normalize_frames(u8))
+
+    stem = stem_conv3d(3, 16, (3, 7, 7), (2, 4, 4), (1, 3, 3))
+    v = stem.init(jax.random.PRNGKey(0), norm)
+    want = stem.apply(v, norm)
+    got = stem.apply(v, jnp.asarray(u8))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
+
+    stem2 = stem_conv2d(3, 16, 4, 4, 0)
+    v2 = stem2.init(jax.random.PRNGKey(1), norm[:, 0])
+    want2 = stem2.apply(v2, norm[:, 0])
+    got2 = stem2.apply(v2, jnp.asarray(u8[:, 0]))
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               atol=2e-4, rtol=1e-4)
+
+    # bias-free stem synthesizes the offset bias
+    stem3 = stem_conv3d(3, 8, (1, 2, 2), (1, 2, 2), 0, bias=False)
+    v3 = stem3.init(jax.random.PRNGKey(2), norm)
+    np.testing.assert_allclose(np.asarray(stem3.apply(v3, jnp.asarray(u8))),
+                               np.asarray(stem3.apply(v3, norm)),
+                               atol=2e-4, rtol=1e-4)
