@@ -44,7 +44,8 @@ class ConvNeXtBlock2d(nn.Module):
     def __call__(self, x):
         import os
 
-        from mspi_tpu.ops.pallas.mlp import maybe_fused_ln_mlp
+        from mspi_tpu.ops.pallas.mlp import (maybe_fused_ln_mlp,
+                                             maybe_fused_ln_mlp_t)
 
         shortcut = x
         x = self.conv_dw(x)
@@ -52,9 +53,14 @@ class ConvNeXtBlock2d(nn.Module):
         # C=96 too narrow); the fused kernel wants token-major, so each call
         # pays a relayout copy pair (~3 ms/block at stage 0, r3 profile).
         # MSPI_PRIOR_FUSED=0 keeps the prior on XLA's own LN+MLP chain in
-        # its native layout to A/B kernel-win vs copy-cost.
+        # its native layout to A/B kernel-win vs copy-cost.  The transposed
+        # kernel (MSPI_PRIOR_FUSED_T) consumes the batch-minor layout
+        # directly — no boundary copies at all.
         y = None
-        if os.environ.get("MSPI_PRIOR_FUSED", "1") == "1":
+        if os.environ.get("MSPI_PRIOR_FUSED_T", "1") == "1":
+            y = maybe_fused_ln_mlp_t(self.norm, self.mlp, x,
+                                     deterministic=True)
+        if y is None and os.environ.get("MSPI_PRIOR_FUSED", "1") == "1":
             # deterministic=True: the prior is the always-frozen image
             # encoder (engine.py FROZEN_TOPLEVEL stop-grad prunes its
             # backward), so the fwd-only VMEM budget admits the stage-3

@@ -580,6 +580,135 @@ def _dispatch_ln_mlp(pn, k1, b1, k2, b2, eps, x, dt, deterministic):
     return out.reshape(shape)
 
 
+# ---------------- transposed-layout variant ----------------
+#
+# XLA lays the ConvNeXt prior's conv stack out batch-minor (B*T=128 in
+# lanes, C in sublanes — C=96 is too narrow for lanes), so the token-major
+# fused_ln_mlp pays a relayout copy pair per block (~1 ms/block at stage 0,
+# r3 profile) at the XLA<->Pallas boundary.  This variant consumes the conv
+# layout AS IS: logical [N, C, BT] where the trailing two dims match the
+# physical (sublane=C, lane=BT) order, so `transpose(x,(1,2,3,0))` into it
+# is a layout-only bitcast.  LN is a sublane reduction; the matmuls are
+# per-position [H,C]x[C,BT] MXU dots with TRANSPOSED resident weights,
+# unrolled over a position tile (Mosaic has no batched dot).
+#
+# Forward-only (the prior is the always-frozen image encoder; the fwd-only
+# VMEM budget applies) — callers gate on deterministic=True.
+
+
+def _ln_fwd_kernel_t(x_ref, g_ref, be_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
+                     out_ref, *, eps, tn):
+    fast = x_ref.dtype == jnp.bfloat16
+    g = g_ref[...].astype(jnp.float32)    # [C, 1]
+    be = be_ref[...].astype(jnp.float32)  # [C, 1]
+    b1 = b1_ref[...].astype(jnp.float32)  # [H, 1]
+    b2 = b2_ref[...].astype(jnp.float32)  # [C, 1]
+    for i in range(tn):
+        z = x_ref[i]                      # [C, BT] storage dtype
+        zf = z.astype(jnp.float32)
+        mu = jnp.mean(zf, axis=0, keepdims=True)
+        var = jnp.mean(zf * zf, axis=0, keepdims=True) - mu * mu
+        zn = (zf - mu) * jax.lax.rsqrt(var + eps) * g + be
+        zc = zn.astype(z.dtype)
+        u = jnp.dot(w1t_ref[...], zc, preferred_element_type=jnp.float32)
+        u = u + b1
+        h = _gelu_f32(u, fast).astype(z.dtype)
+        y = jnp.dot(w2t_ref[...], h, preferred_element_type=jnp.float32)
+        y = y + b2
+        out_ref[i] = y.astype(out_ref.dtype)
+
+
+def _tile_pos(n: int, c: int, bt: int, dsize: int) -> int | None:
+    """Largest divisor of N (positions) such that the in+out blocks stay
+    within budget; capped at 32 (the kernel unrolls the position loop).
+    Returns None when only degenerate tiling exists (huge C*BT) — callers
+    fall back to the token-major kernel rather than pad (padding [N,C,BT]
+    on the major axis would copy the whole tensor, the very cost this
+    kernel exists to avoid)."""
+    import os
+
+    budget = int(os.environ.get("MSPI_MLPT_VMEM_BUDGET", 3 * 1024 * 1024))
+    cap = min(32, max(1, budget // max(c * bt * dsize * 2, 1)))
+    for t in range(min(n, cap), 0, -1):
+        if n % t == 0:
+            return t
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def fused_ln_mlp_t(xt, g, be, w1, b1, w2, b2, eps: float = 1e-6,
+                   interpret: bool = False) -> jnp.ndarray:
+    """fc2(gelu(fc1(LN(x)))) on channel-sublane/batch-lane activations:
+    xt is [N, C, BT] (N spatial positions, BT examples in lanes).  Weights
+    come in the usual [C, H]/[H, C] orientation and are transposed once at
+    trace time.  Forward only — no VJP."""
+    N, C, BT = xt.shape
+    H = w1.shape[1]
+    TN = _tile_pos(N, C, BT, xt.dtype.itemsize)
+    assert TN is not None and N % TN == 0, (N, TN)
+    x_spec = pl.BlockSpec((TN, C, BT), lambda t: (t, 0, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = lambda a, b_: pl.BlockSpec((a, b_), lambda t: (0, 0),
+                                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ln_fwd_kernel_t, eps=eps, tn=TN),
+        grid=(N // TN,),
+        in_specs=[x_spec, w_spec(C, 1), w_spec(C, 1), w_spec(H, C),
+                  w_spec(H, 1), w_spec(C, H), w_spec(C, 1)],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((N, C, BT), xt.dtype),
+        interpret=interpret,
+    )(xt, g.reshape(C, 1), be.reshape(C, 1), w1.T, b1.reshape(H, 1),
+      w2.T, b2.reshape(C, 1))
+
+
+def maybe_fused_ln_mlp_t(norm_module, mlp_module, x, deterministic=None):
+    """Transposed-layout block accelerator for conv-stack blocks:
+    `mlp(norm(x))` on x = [B, H, W, C] activations that XLA keeps
+    batch-minor.  Returns the fused result in the SAME [B, H, W, C]
+    logical orientation (both boundary transposes are layout-only), or
+    None for the plain / token-major path.  Inference-only (no VJP):
+    callers gate on deterministic=True; lanes want BT % 128 == 0, smaller
+    batches fall back (75%+ lane waste would eat the copy win)."""
+    from mspi_tpu.ops.pallas import pallas_enabled, pallas_interpret
+
+    if mlp_module.is_initializing() or not pallas_enabled():
+        return None
+    if not deterministic or x.ndim != 4:
+        return None
+    B, Hh, Ww, C = x.shape
+    if B % 128 != 0 and not pallas_interpret():
+        return None
+    pn = norm_module.variables["params"]
+    p1 = mlp_module.fc1.variables["params"]
+    p2 = mlp_module.fc2.variables["params"]
+    if "scale" not in pn or "bias" not in pn:
+        return None
+    if "bias" not in p1 or "bias" not in p2:
+        return None
+    if p1["kernel"].shape[0] != C:
+        return None
+    H = p1["kernel"].shape[1]
+    if p2["kernel"].shape != (H, C):
+        return None
+    dt = getattr(mlp_module.fc1, "dtype", None) or x.dtype
+    # dtype-aware weight-residency budget: both transposed mats live in
+    # VMEM for the whole grid.  In fp32 (the parity-certification path)
+    # stage 3 (768x3072) is 18.9 MB — over the 16 MB scoped-vmem limit
+    # (northstar hit this) — so wide-C fp32 falls back to token-major.
+    if 2 * C * H * jnp.dtype(dt).itemsize > 10 * 1024 * 1024:
+        return None
+    if _tile_pos(Hh * Ww, C, B, jnp.dtype(dt).itemsize) is None:
+        return None
+    xt = jnp.transpose(x, (1, 2, 3, 0)).reshape(Hh * Ww, C, B)
+    out = fused_ln_mlp_t(
+        xt.astype(dt), pn["scale"].astype(dt), pn["bias"].astype(dt),
+        p1["kernel"].astype(dt), p1["bias"].astype(dt),
+        p2["kernel"].astype(dt), p2["bias"].astype(dt),
+        eps=float(norm_module.epsilon), interpret=pallas_interpret())
+    return jnp.transpose(out.reshape(Hh, Ww, C, B), (3, 0, 1, 2))
+
+
 # ---------------- int8 inference variant ----------------
 #
 # Inference-only forward: weights are quantized per-output-channel at trace

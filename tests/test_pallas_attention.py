@@ -583,3 +583,44 @@ def test_convnext_block3d_fused_path(rng, monkeypatch):
     for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=1e-3)
+
+
+def test_fused_ln_mlp_t_matches_reference(rng):
+    """Transposed-layout kernel ([N, C, BT], LN over sublanes) == token-major
+    math on the transposed view."""
+    from mspi_tpu.ops.pallas.mlp import fused_ln_mlp_t
+
+    N, C, BT, H = 48, 32, 16, 128
+    x = jnp.asarray(rng.standard_normal((N, C, BT)).astype(np.float32))
+    g = jnp.asarray(1.0 + 0.1 * rng.standard_normal(C).astype(np.float32))
+    be = jnp.asarray(0.1 * rng.standard_normal(C).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((C, H)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.standard_normal(H).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.standard_normal((H, C)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+
+    out = fused_ln_mlp_t(x, g, be, w1, b1, w2, b2, eps=1e-6, interpret=True)
+
+    from mspi_tpu.ops import gelu
+
+    xt = jnp.transpose(x, (0, 2, 1))  # [N, BT, C]
+    mu = xt.mean(-1, keepdims=True)
+    var = (xt * xt).mean(-1, keepdims=True) - mu * mu
+    z = (xt - mu) * jax.lax.rsqrt(var + 1e-6) * g + be
+    ref = jnp.transpose(gelu(z @ w1 + b1) @ w2 + b2, (0, 2, 1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_convnext_block2d_transposed_fused_path(rng, monkeypatch):
+    """ConvNeXtBlock2d with MSPI_PRIOR_FUSED_T routes through the transposed
+    kernel and matches the plain path."""
+    from mspi_tpu.models.convnext import ConvNeXtBlock2d
+
+    blk = ConvNeXtBlock2d(dim=32)
+    x = jnp.asarray(rng.standard_normal((8, 6, 8, 32)).astype(np.float32))
+    v = blk.init(jax.random.PRNGKey(0), x)
+    ref = blk.apply(v, x)
+    monkeypatch.setenv("MSPI_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("MSPI_PRIOR_FUSED_T", "1")
+    out = blk.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
