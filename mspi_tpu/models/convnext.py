@@ -58,8 +58,20 @@ class ConvNeXtBlock2d(nn.Module):
         # directly — no boundary copies at all.
         y = None
         if os.environ.get("MSPI_PRIOR_FUSED_T", "1") == "1":
-            y = maybe_fused_ln_mlp_t(self.norm, self.mlp, x,
-                                     deterministic=True)
+            # MSPI_PRIOR_FOLD_RES=1 folds shortcut+gamma into the kernel
+            # (returns `shortcut + gamma * mlp(ln(x))` directly).  Measured
+            # REGRESSION on the flagship (70.1 vs 71.7 control, same-session
+            # A/B): the second in-kernel input stream costs more than XLA's
+            # residual fusion saves — default OFF, kept for re-measurement.
+            fold = os.environ.get("MSPI_PRIOR_FOLD_RES", "0") == "1"
+            out = maybe_fused_ln_mlp_t(
+                self.norm, self.mlp, x, deterministic=True,
+                shortcut=shortcut if fold else None,
+                gamma=self.gamma if fold else None)
+            if out is not None:
+                if fold:
+                    return out
+                y = out
         if y is None and os.environ.get("MSPI_PRIOR_FUSED", "1") == "1":
             # deterministic=True: the prior is the always-frozen image
             # encoder (engine.py FROZEN_TOPLEVEL stop-grad prunes its
@@ -89,6 +101,25 @@ class Mlp2d(nn.Module):
         return self.fc2(gelu(self.fc1(x)))
 
 
+def _apply_ln_t(norm_module, x):
+    """Route a stem/downsample LayerNorm through the transposed-layout
+    Pallas LN (MSPI_PRIOR_LN_T).  Measured REGRESSION on the flagship
+    (69.7 vs 71.7 control, same-session A/B): XLA's convert_reduce chain
+    only materializes the stats pass — the normalize is fused into the
+    consumer conv — so a standalone kernel ADDS a full tensor write.
+    Default OFF; kept as the measured null.  The prior is always
+    frozen/eval, so deterministic=True unconditionally."""
+    import os
+
+    from mspi_tpu.ops.pallas.mlp import maybe_fused_ln_t
+
+    if os.environ.get("MSPI_PRIOR_LN_T", "0") == "1":
+        y = maybe_fused_ln_t(norm_module, x, deterministic=True)
+        if y is not None:
+            return y
+    return norm_module(x)
+
+
 class ConvNeXtStage(nn.Module):
     in_dim: int
     dim: int
@@ -106,7 +137,8 @@ class ConvNeXtStage(nn.Module):
 
     def __call__(self, x):
         if self.has_downsample:
-            x = self.downsample(x)
+            x = _apply_ln_t(self.downsample.layers[0], x)
+            x = self.downsample.layers[1](x)
         return self.blocks(x)
 
 
@@ -131,7 +163,8 @@ class ConvNeXtTinyFeatures(nn.Module):
         self.stages_0, self.stages_1, self.stages_2, self.stages_3 = stages
 
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
-        x = self.stem(x)
+        x = self.stem.layers[0](x)
+        x = _apply_ln_t(self.stem.layers[1], x)
         o0 = self.stages_0(x)
         o1 = self.stages_1(o0)
         o2 = self.stages_2(o1)

@@ -618,17 +618,47 @@ def _ln_fwd_kernel_t(x_ref, g_ref, be_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
         out_ref[i] = y.astype(out_ref.dtype)
 
 
-def _tile_pos(n: int, c: int, bt: int, dsize: int) -> int | None:
-    """Largest divisor of N (positions) such that the in+out blocks stay
-    within budget; capped at 32 (the kernel unrolls the position loop).
-    Returns None when only degenerate tiling exists (huge C*BT) — callers
-    fall back to the token-major kernel rather than pad (padding [N,C,BT]
-    on the major axis would copy the whole tensor, the very cost this
-    kernel exists to avoid)."""
+def _ln_fwd_kernel_t_res(x_ref, s_ref, g_ref, be_ref, w1t_ref, b1_ref,
+                         w2t_ref, b2_ref, gam_ref, out_ref, *, eps, tn):
+    """Residual-folded twin of _ln_fwd_kernel_t: emits
+    shortcut + gamma * mlp(LN(x)) directly, so the MLP output never
+    round-trips HBM and XLA's residual fusion (read y + read shortcut +
+    write out, ~3 extra passes per block) disappears."""
+    fast = x_ref.dtype == jnp.bfloat16
+    g = g_ref[...].astype(jnp.float32)    # [C, 1]
+    be = be_ref[...].astype(jnp.float32)  # [C, 1]
+    b1 = b1_ref[...].astype(jnp.float32)  # [H, 1]
+    b2 = b2_ref[...].astype(jnp.float32)  # [C, 1]
+    gam = gam_ref[...].astype(jnp.float32)  # [C, 1]
+    for i in range(tn):
+        z = x_ref[i]                      # [C, BT] storage dtype
+        zf = z.astype(jnp.float32)
+        mu = jnp.mean(zf, axis=0, keepdims=True)
+        var = jnp.mean(zf * zf, axis=0, keepdims=True) - mu * mu
+        zn = (zf - mu) * jax.lax.rsqrt(var + eps) * g + be
+        zc = zn.astype(z.dtype)
+        u = jnp.dot(w1t_ref[...], zc, preferred_element_type=jnp.float32)
+        u = u + b1
+        h = _gelu_f32(u, fast).astype(z.dtype)
+        y = jnp.dot(w2t_ref[...], h, preferred_element_type=jnp.float32)
+        y = y + b2
+        out_ref[i] = (s_ref[i].astype(jnp.float32) + gam * y
+                      ).astype(out_ref.dtype)
+
+
+def _tile_pos(n: int, c: int, bt: int, dsize: int,
+              blocks: int = 2) -> int | None:
+    """Largest divisor of N (positions) such that the activation blocks
+    (`blocks` = in+out, +1 with a resident shortcut) stay within budget;
+    capped at 32 (the kernel unrolls the position loop).  Returns None when
+    only degenerate tiling exists (huge C*BT) — callers fall back to the
+    token-major kernel rather than pad (padding [N,C,BT] on the major axis
+    would copy the whole tensor, the very cost this kernel exists to
+    avoid)."""
     import os
 
     budget = int(os.environ.get("MSPI_MLPT_VMEM_BUDGET", 3 * 1024 * 1024))
-    cap = min(32, max(1, budget // max(c * bt * dsize * 2, 1)))
+    cap = min(32, max(1, budget // max(c * bt * dsize * blocks, 1)))
     for t in range(min(n, cap), 0, -1):
         if n % t == 0:
             return t
@@ -662,14 +692,46 @@ def fused_ln_mlp_t(xt, g, be, w1, b1, w2, b2, eps: float = 1e-6,
       w2.T, b2.reshape(C, 1))
 
 
-def maybe_fused_ln_mlp_t(norm_module, mlp_module, x, deterministic=None):
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def fused_ln_mlp_t_res(xt, st, gamma, g, be, w1, b1, w2, b2,
+                       eps: float = 1e-6,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Residual-folded transposed block: st + gamma * mlp(LN(xt)), all in
+    [N, C, BT].  Saves the y write + y re-read + XLA residual fusion that
+    the unfolded form pays per block.  Forward only — no VJP."""
+    N, C, BT = xt.shape
+    H = w1.shape[1]
+    TN = _tile_pos(N, C, BT, xt.dtype.itemsize, blocks=3)
+    assert TN is not None and N % TN == 0, (N, TN)
+    x_spec = pl.BlockSpec((TN, C, BT), lambda t: (t, 0, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = lambda a, b_: pl.BlockSpec((a, b_), lambda t: (0, 0),
+                                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ln_fwd_kernel_t_res, eps=eps, tn=TN),
+        grid=(N // TN,),
+        in_specs=[x_spec, x_spec, w_spec(C, 1), w_spec(C, 1), w_spec(H, C),
+                  w_spec(H, 1), w_spec(C, H), w_spec(C, 1), w_spec(C, 1)],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((N, C, BT), xt.dtype),
+        interpret=interpret,
+    )(xt, st, g.reshape(C, 1), be.reshape(C, 1), w1.T, b1.reshape(H, 1),
+      w2.T, b2.reshape(C, 1), gamma.reshape(C, 1))
+
+
+def maybe_fused_ln_mlp_t(norm_module, mlp_module, x, deterministic=None,
+                         shortcut=None, gamma=None):
     """Transposed-layout block accelerator for conv-stack blocks:
     `mlp(norm(x))` on x = [B, H, W, C] activations that XLA keeps
     batch-minor.  Returns the fused result in the SAME [B, H, W, C]
     logical orientation (both boundary transposes are layout-only), or
     None for the plain / token-major path.  Inference-only (no VJP):
     callers gate on deterministic=True; lanes want BT % 128 == 0, smaller
-    batches fall back (75%+ lane waste would eat the copy win)."""
+    batches fall back (75%+ lane waste would eat the copy win).
+
+    With `shortcut` (same shape as x) and `gamma` ([C]) the whole
+    ConvNeXt-block tail `shortcut + gamma * mlp(norm(x))` is computed
+    in-kernel — the MLP output never round-trips HBM."""
     from mspi_tpu.ops.pallas import pallas_enabled, pallas_interpret
 
     if mlp_module.is_initializing() or not pallas_enabled():
@@ -698,14 +760,90 @@ def maybe_fused_ln_mlp_t(norm_module, mlp_module, x, deterministic=None):
     # (northstar hit this) — so wide-C fp32 falls back to token-major.
     if 2 * C * H * jnp.dtype(dt).itemsize > 10 * 1024 * 1024:
         return None
-    if _tile_pos(Hh * Ww, C, B, jnp.dtype(dt).itemsize) is None:
+    fold_res = shortcut is not None and gamma is not None \
+        and shortcut.shape == x.shape
+    blocks = 3 if fold_res else 2
+    if _tile_pos(Hh * Ww, C, B, jnp.dtype(dt).itemsize, blocks) is None:
         return None
     xt = jnp.transpose(x, (1, 2, 3, 0)).reshape(Hh * Ww, C, B)
-    out = fused_ln_mlp_t(
-        xt.astype(dt), pn["scale"].astype(dt), pn["bias"].astype(dt),
-        p1["kernel"].astype(dt), p1["bias"].astype(dt),
-        p2["kernel"].astype(dt), p2["bias"].astype(dt),
-        eps=float(norm_module.epsilon), interpret=pallas_interpret())
+    if fold_res:
+        st = jnp.transpose(shortcut, (1, 2, 3, 0)).reshape(Hh * Ww, C, B)
+        out = fused_ln_mlp_t_res(
+            xt.astype(dt), st.astype(dt), gamma.astype(dt),
+            pn["scale"].astype(dt), pn["bias"].astype(dt),
+            p1["kernel"].astype(dt), p1["bias"].astype(dt),
+            p2["kernel"].astype(dt), p2["bias"].astype(dt),
+            eps=float(norm_module.epsilon), interpret=pallas_interpret())
+    else:
+        out = fused_ln_mlp_t(
+            xt.astype(dt), pn["scale"].astype(dt), pn["bias"].astype(dt),
+            p1["kernel"].astype(dt), p1["bias"].astype(dt),
+            p2["kernel"].astype(dt), p2["bias"].astype(dt),
+            eps=float(norm_module.epsilon), interpret=pallas_interpret())
+    return jnp.transpose(out.reshape(Hh, Ww, C, B), (3, 0, 1, 2))
+
+
+def _ln_only_kernel_t(x_ref, g_ref, be_ref, out_ref, *, eps, tn):
+    g = g_ref[...].astype(jnp.float32)    # [C, 1]
+    be = be_ref[...].astype(jnp.float32)  # [C, 1]
+    for i in range(tn):
+        zf = x_ref[i].astype(jnp.float32)
+        mu = jnp.mean(zf, axis=0, keepdims=True)
+        var = jnp.mean(zf * zf, axis=0, keepdims=True) - mu * mu
+        out_ref[i] = ((zf - mu) * jax.lax.rsqrt(var + eps) * g + be
+                      ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def fused_ln_t(xt, g, be, eps: float = 1e-6,
+               interpret: bool = False) -> jnp.ndarray:
+    """Transposed-layout standalone LayerNorm: normalizes the C (sublane)
+    axis of [N, C, BT].  Two HBM passes (read x, write out) vs XLA's
+    convert/reduce/normalize chain on the same batch-minor layout."""
+    N, C, BT = xt.shape
+    TN = _tile_pos(N, C, BT, xt.dtype.itemsize, blocks=2)
+    assert TN is not None and N % TN == 0, (N, TN)
+    x_spec = pl.BlockSpec((TN, C, BT), lambda t: (t, 0, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((C, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ln_only_kernel_t, eps=eps, tn=TN),
+        grid=(N // TN,),
+        in_specs=[x_spec, w_spec, w_spec],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((N, C, BT), xt.dtype),
+        interpret=interpret,
+    )(xt, g.reshape(C, 1), be.reshape(C, 1))
+
+
+def maybe_fused_ln_t(norm_module, x, deterministic=None):
+    """Transposed-layout LN for the conv-stack stem/downsample LayerNorms
+    (ConvNeXt prior stem.1 / downsample.0 — the only LNs outside the fused
+    block kernels, `convert_reduce_fusion` in the r3 profile).  Consumes
+    XLA's batch-minor layout directly — both boundary transposes are
+    layout-only.  Inference-only (no VJP): callers gate on
+    deterministic=True (the prior is the always-frozen image encoder)."""
+    from mspi_tpu.ops.pallas import pallas_enabled, pallas_interpret
+
+    if norm_module.is_initializing() or not pallas_enabled():
+        return None
+    if not deterministic or x.ndim != 4:
+        return None
+    B, Hh, Ww, C = x.shape
+    if B % 128 != 0 and not pallas_interpret():
+        return None
+    if C % 8 != 0:
+        return None
+    pn = norm_module.variables["params"]
+    if "scale" not in pn or "bias" not in pn:
+        return None
+    dt = x.dtype
+    if _tile_pos(Hh * Ww, C, B, jnp.dtype(dt).itemsize, 2) is None:
+        return None
+    xt = jnp.transpose(x, (1, 2, 3, 0)).reshape(Hh * Ww, C, B)
+    out = fused_ln_t(xt, pn["scale"].astype(dt), pn["bias"].astype(dt),
+                     eps=float(norm_module.epsilon),
+                     interpret=pallas_interpret())
     return jnp.transpose(out.reshape(Hh, Ww, C, B), (3, 0, 1, 2))
 
 

@@ -611,6 +611,71 @@ def test_fused_ln_mlp_t_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
 
+def test_fused_ln_mlp_t_res_matches_reference(rng):
+    """Residual-folded transposed kernel == shortcut + gamma * mlp(ln(x))."""
+    from mspi_tpu.ops.pallas.mlp import fused_ln_mlp_t_res
+
+    N, C, BT, H = 48, 32, 16, 128
+    x = jnp.asarray(rng.standard_normal((N, C, BT)).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal((N, C, BT)).astype(np.float32))
+    gam = jnp.asarray(0.5 * rng.standard_normal(C).astype(np.float32))
+    g = jnp.asarray(1.0 + 0.1 * rng.standard_normal(C).astype(np.float32))
+    be = jnp.asarray(0.1 * rng.standard_normal(C).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((C, H)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.standard_normal(H).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.standard_normal((H, C)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+
+    out = fused_ln_mlp_t_res(x, s, gam, g, be, w1, b1, w2, b2, eps=1e-6,
+                             interpret=True)
+
+    from mspi_tpu.ops import gelu
+
+    xt = jnp.transpose(x, (0, 2, 1))  # [N, BT, C]
+    mu = xt.mean(-1, keepdims=True)
+    var = (xt * xt).mean(-1, keepdims=True) - mu * mu
+    z = (xt - mu) * jax.lax.rsqrt(var + 1e-6) * g + be
+    y = jnp.transpose(gelu(z @ w1 + b1) @ w2 + b2, (0, 2, 1))
+    ref = s + gam[None, :, None] * y
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_fused_ln_t_matches_reference(rng):
+    """Transposed standalone LN kernel == LayerNorm over C of [N, C, BT]."""
+    from mspi_tpu.ops.pallas.mlp import fused_ln_t
+
+    N, C, BT = 24, 32, 16
+    x = jnp.asarray(rng.standard_normal((N, C, BT)).astype(np.float32))
+    g = jnp.asarray(1.0 + 0.1 * rng.standard_normal(C).astype(np.float32))
+    be = jnp.asarray(0.1 * rng.standard_normal(C).astype(np.float32))
+
+    out = fused_ln_t(x, g, be, eps=1e-6, interpret=True)
+
+    xt = jnp.transpose(x, (0, 2, 1))  # [N, BT, C]
+    mu = xt.mean(-1, keepdims=True)
+    var = (xt * xt).mean(-1, keepdims=True) - mu * mu
+    ref = jnp.transpose((xt - mu) * jax.lax.rsqrt(var + 1e-6) * g + be,
+                        (0, 2, 1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_convnext_features_transposed_ln_path(rng, monkeypatch):
+    """ConvNeXtTinyFeatures stem/downsample LNs route through the transposed
+    LN kernel (MSPI_PRIOR_LN_T) and match the plain path."""
+    from mspi_tpu.models.convnext import ConvNeXtTinyFeatures
+
+    model = ConvNeXtTinyFeatures(depths=(1, 1, 1, 1), dims=(8, 16, 24, 32))
+    x = jnp.asarray(rng.standard_normal((4, 32, 32, 3)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x)
+    monkeypatch.setenv("MSPI_PRIOR_LN_T", "0")
+    ref = model.apply(v, x)
+    monkeypatch.setenv("MSPI_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("MSPI_PRIOR_LN_T", "1")
+    out = model.apply(v, x)
+    for o, r in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=3e-5)
+
+
 def test_convnext_block2d_transposed_fused_path(rng, monkeypatch):
     """ConvNeXtBlock2d with MSPI_PRIOR_FUSED_T routes through the transposed
     kernel and matches the plain path."""
