@@ -197,21 +197,46 @@ class HeadPool(nn.Module):
     heads) measured 0.03 ms standalone but ~13 ms inside the full flagship
     graph — XLA rewrote the grouped conv out of its depthwise fast path
     under the model's layout constraints (r3 null; see ROUND3_NOTES.md) —
-    so the pools stay per-head."""
+    so the pools stay per-head.
+
+    `packed=True` instead consumes the qkv dense's native [B, N, H*head]
+    output and runs H lane-sliced per-head convs (each a clean head_dim-
+    wide depthwise conv on XLA's fast path — the filter is shared across
+    heads, MViT.py:1090-1135), assembling the head-major [B, H, N', head]
+    result only AFTER pooling, where N' is 4-64x smaller.  This removes
+    the pre-pool [B,N,H,head] head-split transposes the r3 profile showed
+    at ~1.8 ms each on the stage-transition blocks (copy.4115/.4130/.4137
+    bf16[8,2,43008,96])."""
 
     head_dim: int
     kernel: Tuple[int, int, int]
     stride: Tuple[int, int, int]
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, thw: Tuple[int, int, int]):
-        B, H, N, D = x.shape
+    def __call__(self, x: jnp.ndarray, thw: Tuple[int, int, int],
+                 packed: bool = False):
         T, Hh, Ww = thw
         w = self.param("kernel", torch_kernel_init,
                        (*self.kernel, 1, self.head_dim))
         from flax.linen.dtypes import promote_dtype
 
         x, w = promote_dtype(x, w, dtype=default_compute_dtype())
+        if packed:
+            B, N, HD = x.shape
+            D = self.head_dim
+            x5 = x.reshape(B, T, Hh, Ww, HD)
+            outs = []
+            for h in range(HD // D):
+                y = jax.lax.conv_general_dilated(
+                    jax.lax.slice_in_dim(x5, h * D, (h + 1) * D, axis=4), w,
+                    window_strides=self.stride,
+                    padding=[(k // 2, k // 2) for k in self.kernel],
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                    feature_group_count=D)
+                outs.append(y.reshape(B, 1, -1, D))
+            return (jnp.concatenate(outs, axis=1) if len(outs) > 1
+                    else outs[0]), tuple(y.shape[1:4])
+        B, H, N, D = x.shape
         kt, kh, kw = self.kernel
         if (kt > 1 and kt % 2 == 1 and self.stride[0] == 1 and T > 1
                 and os.environ.get("MSPI_POOL_TSPLIT", "0") == "1"):
@@ -336,19 +361,29 @@ class MultiScaleAttention(nn.Module):
         def heads(y):
             return y.reshape(B, -1, H, head).transpose(0, 2, 1, 3)
 
-        q, k, v = heads(q), heads(k), heads(v)
+        # For H > 1, pool straight from the packed stream (H lane-sliced
+        # per-head convs) and assemble head-major only on the pooled
+        # output — the pre-pool head-split transposes were ~1.8 ms each on
+        # the stage-transition blocks (see HeadPool docstring).
+        packed_pool = H > 1 and os.environ.get("MSPI_POOL_PACKED", "1") == "1"
 
         if self.has_pool_q:
-            q, q_shape = self.pool_q(q, thw)
+            q, q_shape = self.pool_q(q if packed_pool else heads(q), thw,
+                                     packed=packed_pool)
             q = self.norm_q(q)
         else:
+            q = heads(q)
             q_shape = thw
         if self.has_pool_kv:
-            k, k_shape = self.pool_k(k, thw)
+            k, k_shape = self.pool_k(k if packed_pool else heads(k), thw,
+                                     packed=packed_pool)
             k = self.norm_k(k)
-            v, _ = self.pool_v(v, thw)
+            v, _ = self.pool_v(v if packed_pool else heads(v), thw,
+                               packed=packed_pool)
             v = self.norm_v(v)
         else:
+            k = heads(k)
+            v = heads(v)
             k_shape = thw
 
         from mspi_tpu.ops.pallas import pallas_enabled
