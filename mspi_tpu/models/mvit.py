@@ -349,7 +349,8 @@ class MultiScaleAttention(nn.Module):
             self.rel_pos_t = self.param("rel_pos_t", trunc_normal_init(0.02),
                                         (2 * 8 - 1, head_dim))
 
-    def __call__(self, x: jnp.ndarray, thw: Tuple[int, int, int]):
+    def __call__(self, x: jnp.ndarray, thw: Tuple[int, int, int],
+                 train: bool = False):
         B, N, _ = x.shape
         H = self.num_heads
         head = self.dim_out // H
@@ -361,11 +362,16 @@ class MultiScaleAttention(nn.Module):
         def heads(y):
             return y.reshape(B, -1, H, head).transpose(0, 2, 1, 3)
 
-        # For H > 1, pool straight from the packed stream (H lane-sliced
-        # per-head convs) and assemble head-major only on the pooled
-        # output — the pre-pool head-split transposes were ~1.8 ms each on
-        # the stage-transition blocks (see HeadPool docstring).
-        packed_pool = H > 1 and os.environ.get("MSPI_POOL_PACKED", "1") == "1"
+        # For H > 1 at inference, pool straight from the packed stream (H
+        # lane-sliced per-head convs) and assemble head-major only on the
+        # pooled output — the pre-pool head-split transposes were ~1.8 ms
+        # each on the stage-transition blocks (see HeadPool docstring).
+        # Inference-only: the bwd of the lane-slice convs (per-slice grad
+        # concat back into the packed tensor) measured a 7% training
+        # regression (29.1 -> 27.1 clips/s), while inference gains 7.7%
+        # (71.9 -> 77.5) — same routing precedent as MSPI_PRIOR_FUSED_T.
+        packed_pool = (H > 1 and not train
+                       and os.environ.get("MSPI_POOL_PACKED", "1") == "1")
 
         if self.has_pool_q:
             q, q_shape = self.pool_q(q if packed_pool else heads(q), thw,
@@ -476,7 +482,7 @@ class MultiScaleBlock(nn.Module):
     def __call__(self, x, thw, train: bool = False):
         det = not train
         x_norm = self.norm1(x)
-        x_block, thw_new = self.attn(x_norm, thw)
+        x_block, thw_new = self.attn(x_norm, thw, train=train)
         if self.dim != self.dim_out:
             x = self.proj(x_norm)
         x_res = self._pool_skip(x, thw)
