@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 import os
+from functools import partial
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -187,6 +188,76 @@ def augment_for_fused_attn(q, k, q_shape, k_shape, scale,
     return q_aug, k_aug
 
 
+def _packed_pool_conv(x5, w, stride, padding, head_dim):
+    """H lane-sliced per-head depthwise convs on a packed [B,T,H,W,HD] stream.
+
+    Returns [B, heads, N', D].  Each slice is a clean head_dim-wide depthwise
+    conv on XLA's fast path (the filter is shared across heads,
+    MViT.py:1090-1135).  The pooled (T',H',W') is computed statically at the
+    call site — it must NOT be returned from here, or custom_vjp would trace
+    the python ints into arrays."""
+    D = head_dim
+    outs = []
+    for h in range(x5.shape[-1] // D):
+        y = jax.lax.conv_general_dilated(
+            jax.lax.slice_in_dim(x5, h * D, (h + 1) * D, axis=4), w,
+            window_strides=stride, padding=padding,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=D)
+        outs.append(y.reshape(y.shape[0], 1, -1, D))
+    return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _packed_pool(x5, w, stride, padding, head_dim):
+    """_packed_pool_conv with a hand-written bwd: JAX's autodiff of the H
+    `slice_in_dim`s materializes H full-size pad+add passes to rebuild the
+    packed dx (measured -7% on flagship training); here each head's dx/dw
+    comes from `jax.linear_transpose` of its conv (no forward recompute) and
+    the packed dx is assembled with ONE lane concat."""
+    return _packed_pool_conv(x5, w, stride, padding, head_dim)
+
+
+def _packed_pool_fwd(x5, w, stride, padding, head_dim):
+    return _packed_pool_conv(x5, w, stride, padding, head_dim), (x5, w)
+
+
+def _packed_pool_bwd(stride, padding, head_dim, res, dy):
+    x5, w = res
+    D = head_dim
+    B, T, Hh, Ww, HD = x5.shape
+    H = HD // D
+    xh_spec = jax.ShapeDtypeStruct((B, T, Hh, Ww, D), x5.dtype)
+    w_spec = jax.ShapeDtypeStruct(w.shape, w.dtype)
+
+    def conv_x(xh):
+        return jax.lax.conv_general_dilated(
+            xh, w, window_strides=stride, padding=padding,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=D)
+
+    oshape = jax.eval_shape(conv_x, xh_spec).shape
+    dxs = []
+    dw = jnp.zeros(w.shape, w.dtype)
+    for h in range(H):
+        dy_h = dy[:, h].reshape(oshape)
+        dxs.append(jax.linear_transpose(conv_x, xh_spec)(dy_h)[0])
+        xh = jax.lax.slice_in_dim(x5, h * D, (h + 1) * D, axis=4)
+
+        def conv_w(ww):
+            return jax.lax.conv_general_dilated(
+                xh, ww, window_strides=stride, padding=padding,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                feature_group_count=D)
+
+        dw = dw + jax.linear_transpose(conv_w, w_spec)(dy_h)[0]
+    dx = jnp.concatenate(dxs, axis=-1) if H > 1 else dxs[0]
+    return dx, dw
+
+
+_packed_pool.defvjp(_packed_pool_fwd, _packed_pool_bwd)
+
+
 class HeadPool(nn.Module):
     """Depthwise attention-stream pooling (conv-mode attention_pool,
     MViT.py:170-204, 1090-1135) on head-major [B, H, N, head] streams.
@@ -223,19 +294,14 @@ class HeadPool(nn.Module):
         x, w = promote_dtype(x, w, dtype=default_compute_dtype())
         if packed:
             B, N, HD = x.shape
-            D = self.head_dim
             x5 = x.reshape(B, T, Hh, Ww, HD)
-            outs = []
-            for h in range(HD // D):
-                y = jax.lax.conv_general_dilated(
-                    jax.lax.slice_in_dim(x5, h * D, (h + 1) * D, axis=4), w,
-                    window_strides=self.stride,
-                    padding=[(k // 2, k // 2) for k in self.kernel],
-                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-                    feature_group_count=D)
-                outs.append(y.reshape(B, 1, -1, D))
-            return (jnp.concatenate(outs, axis=1) if len(outs) > 1
-                    else outs[0]), tuple(y.shape[1:4])
+            out = _packed_pool(
+                x5, w, tuple(self.stride),
+                tuple((k // 2, k // 2) for k in self.kernel), self.head_dim)
+            oshape = tuple((s + 2 * (k // 2) - k) // st + 1
+                           for s, k, st in zip((T, Hh, Ww), self.kernel,
+                                               self.stride))
+            return out, oshape
         B, H, N, D = x.shape
         kt, kh, kw = self.kernel
         if (kt > 1 and kt % 2 == 1 and self.stride[0] == 1 and T > 1
@@ -366,12 +432,17 @@ class MultiScaleAttention(nn.Module):
         # lane-sliced per-head convs) and assemble head-major only on the
         # pooled output — the pre-pool head-split transposes were ~1.8 ms
         # each on the stage-transition blocks (see HeadPool docstring).
-        # Inference-only: the bwd of the lane-slice convs (per-slice grad
-        # concat back into the packed tensor) measured a 7% training
-        # regression (29.1 -> 27.1 clips/s), while inference gains 7.7%
-        # (71.9 -> 77.5) — same routing precedent as MSPI_PRIOR_FUSED_T.
-        packed_pool = (H > 1 and not train
-                       and os.environ.get("MSPI_POOL_PACKED", "1") == "1")
+        # Inference gains 7.7% (71.9 -> 77.5 clips/s).  Training stays
+        # per-head: BOTH bwd variants regress ~7-8% at batch 2 bf16 — naive
+        # autodiff (per-slice pad+add dx) 27.05, and _packed_pool's
+        # custom_vjp (one-lane-concat dx via linear_transpose) 26.69, vs
+        # 29.04 per-head control — the cost is the H per-head transposed
+        # convs on lane-sliced streams, not the dx assembly.  Opt-in via
+        # MSPI_POOL_PACKED_TRAIN=1 (grad-parity-tested).
+        packed_env = os.environ.get("MSPI_POOL_PACKED", "1") == "1"
+        packed_pool = H > 1 and packed_env and (
+            not train
+            or os.environ.get("MSPI_POOL_PACKED_TRAIN", "0") == "1")
 
         if self.has_pool_q:
             q, q_shape = self.pool_q(q if packed_pool else heads(q), thw,

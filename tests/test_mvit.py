@@ -50,6 +50,43 @@ def test_mvit_parity_and_shapes(ref_mvit, rng):
                                    atol=2e-3, rtol=1e-3)
 
 
+def test_headpool_packed_parity():
+    """packed=True (H lane-sliced convs on the qkv dense's native [B,N,H*D]
+    stream, custom_vjp bwd assembling dx with one lane concat) must match the
+    head-major path exactly — fwd, dx, and dkernel — since both apply the
+    same shared filter per head (MViT.py:1090-1135)."""
+    from mspi_tpu.models.mvit import HeadPool
+
+    B, H, T, Hh, Ww, D = 2, 3, 4, 6, 10, 16
+    N = T * Hh * Ww
+    xp = jnp.asarray(np.random.RandomState(1).randn(B, N, H * D),
+                     jnp.float32)
+
+    def heads(y):
+        return y.reshape(B, N, H, D).transpose(0, 2, 1, 3)
+
+    for kernel, stride in [((3, 3, 3), (1, 1, 1)), ((3, 3, 3), (1, 2, 2)),
+                           ((3, 3, 3), (2, 8, 8))]:
+        m = HeadPool(head_dim=D, kernel=kernel, stride=stride)
+        v = m.init(jax.random.PRNGKey(0), xp, (T, Hh, Ww), packed=True)
+
+        def loss(v, xp, packed, m=m):
+            y, _ = m.apply(v, xp if packed else heads(xp), (T, Hh, Ww),
+                           packed=packed)
+            return (y ** 2 + jnp.sin(y)).sum()
+
+        yp, sp = m.apply(v, xp, (T, Hh, Ww), packed=True)
+        yh, sh = m.apply(v, heads(xp), (T, Hh, Ww), packed=False)
+        assert sp == sh
+        np.testing.assert_allclose(np.asarray(yp), np.asarray(yh), atol=1e-5)
+        gp = jax.jit(jax.grad(loss, argnums=(0, 1)),
+                     static_argnums=2)(v, xp, True)
+        gh = jax.grad(loss, argnums=(0, 1))(v, xp, False)
+        for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gh)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=1e-4)
+
+
 def test_headpool_temporal_split_parity():
     """The temporal-slice decomposition of the depthwise pool conv
     (MSPI_POOL_TSPLIT, r3 perf: XLA's 5-D depthwise lowering is ~8x off
