@@ -214,7 +214,15 @@ def _packed_pool(x5, w, stride, padding, head_dim):
     `slice_in_dim`s materializes H full-size pad+add passes to rebuild the
     packed dx (measured -7% on flagship training); here each head's dx/dw
     comes from `jax.linear_transpose` of its conv (no forward recompute) and
-    the packed dx is assembled with ONE lane concat."""
+    the packed dx is assembled with ONE lane concat.
+
+    Caveats (advisor r3): (1) the residuals save the full-size packed x5
+    (needed for dw), and jax.checkpoint cannot rematerialize through a
+    custom_vjp — under remat/reversible training with MSPI_POOL_PACKED_TRAIN=1
+    activation memory GROWS vs the per-head autodiff path; (2) custom_vjp is
+    reverse-mode-only — jax.jvp / forward-over-reverse through this path
+    raises; set MSPI_POOL_PACKED=0 (or add a custom_jvp companion) if ever
+    needed."""
     return _packed_pool_conv(x5, w, stride, padding, head_dim)
 
 

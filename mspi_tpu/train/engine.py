@@ -175,10 +175,13 @@ def make_ddp_train_step(model, tx: optax.GradientTransformation, gamma: float,
                                   batch_stats=new_bs, rng=rng)
         return new_state, metrics
 
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # annotation (jax 0.9 rejects them under shard_map otherwise); the
+    # per-device step is replicated-in/replicated-out by construction.
     mapped = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(P(), P(data_axis), P()),
-        out_specs=(P(), P()))
+        out_specs=(P(), P()), check_vma=False)
     return jax.jit(mapped, donate_argnums=(0,) if donate else ())
 
 

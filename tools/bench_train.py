@@ -80,15 +80,21 @@ def main():
     float(jnp.sum(jax.tree.leaves(s1.params)[0]))  # force D2H
     compile_s = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    s2 = run_n(state, batch, args.iters + 1)
-    float(jnp.sum(jax.tree.leaves(s2.params)[0]))
-    dt_n = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    s3 = run_n(state, batch, 1)
-    float(jnp.sum(jax.tree.leaves(s3.params)[0]))
-    dt_1 = time.perf_counter() - t0
-    per_step = max((dt_n - dt_1) / args.iters, 1e-9)
+    # Repeat-median protocol (VERDICT r3 item 6): report median of N
+    # independent chained-block measurements + min/max spread.
+    repeats = int(os.environ.get("MSPI_BENCH_REPEATS", "3"))
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        s2 = run_n(state, batch, args.iters + 1)
+        float(jnp.sum(jax.tree.leaves(s2.params)[0]))
+        dt_n = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        s3 = run_n(state, batch, 1)
+        float(jnp.sum(jax.tree.leaves(s3.params)[0]))
+        dt_1 = time.perf_counter() - t0
+        samples.append(max((dt_n - dt_1) / args.iters, 1e-9))
+    per_step = float(np.median(samples))
 
     # FLOPs / MFU of the full train step via the Pallas-disabled twin
     # program (custom kernels are invisible to XLA's FLOP counter; the jnp
@@ -130,6 +136,9 @@ def main():
         "compile_s": round(compile_s, 1),
         "gflops_per_clip": round(flops_per_clip / 1e9, 1) if flops_per_clip else None,
         "mfu_vs_peak": round(mfu, 4) if mfu else None,
+        "spread": {"repeats": repeats,
+                   "min": round(args.batch / max(samples), 3),
+                   "max": round(args.batch / min(samples), 3)},
     }))
 
 
