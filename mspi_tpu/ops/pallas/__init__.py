@@ -19,6 +19,14 @@ def pallas_interpret() -> bool:
     return bool(os.environ.get("MSPI_PALLAS_INTERPRET"))
 
 
+def mlp_hybrid_enabled() -> bool:
+    """Hybrid fused-fwd/XLA-bwd routing for big-C LN+MLP blocks in TRAINING
+    (MViT/Swin stage-4 768x3072, SyncBlock 512x2048 — fits_vmem_fwd but not
+    fits_vmem).  MSPI_MLP_HYBRID=0 reverts those blocks to the fully unfused
+    path (the pre-r4 behavior)."""
+    return os.environ.get("MSPI_MLP_HYBRID", "1") != "0"
+
+
 def quant_int8_enabled() -> bool:
     """Int8 inference mode (MSPI_QUANT=int8): transformer matmuls with
     C >= 256 run int8 weights x dynamically-quantized int8 activations on

@@ -502,6 +502,70 @@ def fused_ln_mlp(x, g, be, w1, b1, w2, b2, eps: float = 1e-6,
     return out[:, :N] if pad else out
 
 
+# ---------------- hybrid (fused fwd / XLA bwd) variant ----------------
+#
+# The all-resident bwd kernel needs bf16 W1+W2 AND fp32 dW1+dW2 in VMEM
+# (fits_vmem) — at 768x3072 that is ~28 MB against ~16 MB/core, so the
+# big-C MLPs (MViT/Swin stage 4, SyncBlock 512x2048) ran fully unfused in
+# TRAINING.  This variant takes the standard remat trade instead: the
+# forward runs the fused kernel (hidden tensor never leaves VMEM — the
+# whole point of the fusion, and it also SHRINKS saved activations to just
+# x), and the backward is XLA autodiff of the same math, recomputing
+# z/u/h from x (one extra C*H*N matmul, ~25% more bwd MLP FLOPs, in
+# exchange for the fwd's 2 saved hidden-tensor HBM round-trips per block).
+
+
+def _ln_mlp_ref_jnp(x, g, be, w1, b1, w2, b2, eps):
+    """jnp twin of the fused kernel's math (fp32 LN stats, casts at the same
+    points, fast-erf GELU for bf16) — autodiffed for the hybrid bwd."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    z = (xf - mu) * jax.lax.rsqrt(var + eps)
+    z = z * g.astype(jnp.float32) + be.astype(jnp.float32)
+    z = z.astype(x.dtype)
+    u = jnp.dot(z, w1, preferred_element_type=jnp.float32) \
+        + b1.astype(jnp.float32)
+    h = _gelu_f32(u, fast=x.dtype == jnp.bfloat16).astype(x.dtype)
+    y = jnp.dot(h, w2, preferred_element_type=jnp.float32) \
+        + b2.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _ln_mlp_hybrid(x, g, be, w1, b1, w2, b2, eps, tr, interpret):
+    return _ln_fwd_impl(x, g, be, w1, b1, w2, b2, eps, tr, interpret)
+
+
+def _ln_mlp_hybrid_fwd(x, g, be, w1, b1, w2, b2, eps, tr, interpret):
+    return (_ln_fwd_impl(x, g, be, w1, b1, w2, b2, eps, tr, interpret),
+            (x, g, be, w1, b1, w2, b2))
+
+
+def _ln_mlp_hybrid_bwd(eps, tr, interpret, res, dy):
+    x, g, be, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda *a: _ln_mlp_ref_jnp(*a, eps), x, g, be, w1, b1, w2, b2)
+    return vjp(dy)
+
+
+_ln_mlp_hybrid.defvjp(_ln_mlp_hybrid_fwd, _ln_mlp_hybrid_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def fused_ln_mlp_hybrid(x, g, be, w1, b1, w2, b2, eps: float = 1e-6,
+                        interpret: bool = False) -> jnp.ndarray:
+    """fused_ln_mlp with the forward-only VMEM budget and an XLA-autodiff
+    backward — the trainable big-C path (see block comment above)."""
+    B, N, C = x.shape
+    TR = _tile_rows(N, w1.shape[1], _FWD_HIDDEN_BYTES)
+    pad = -N % TR
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    out = _ln_mlp_hybrid(x, g, be, w1, b1, w2, b2, eps, TR, interpret)
+    return out[:, :N] if pad else out
+
+
 def maybe_fused_ln_mlp(norm_module, mlp_module, x, deterministic=None):
     """Block-level accelerator for `mlp(norm(x))` where norm is a LayerNorm
     and mlp has dense fc1/fc2: returns the fused result (caller adds the
@@ -525,7 +589,7 @@ def maybe_fused_ln_mlp(norm_module, mlp_module, x, deterministic=None):
     C, H = p1["kernel"].shape
     if p2["kernel"].shape != (H, C):
         return None
-    if not (fits_vmem(C, H) or (deterministic and fits_vmem_fwd(C, H))):
+    if not _ln_mlp_admissible(C, H, deterministic):
         return None
     dt = getattr(mlp_module.fc1, "dtype", None) or x.dtype
     return _dispatch_ln_mlp(pn, p1["kernel"], p1["bias"], p2["kernel"],
@@ -555,17 +619,29 @@ def maybe_fused_ln_mlp_pw(norm_module, pw1, pw2, x, deterministic=None):
     C, H = k1.shape
     if k2.shape != (H, C):
         return None
-    if not (fits_vmem(C, H) or (deterministic and fits_vmem_fwd(C, H))):
+    if not _ln_mlp_admissible(C, H, deterministic):
         return None
     dt = getattr(pw1, "dtype", None) or x.dtype
     return _dispatch_ln_mlp(pn, k1, p1["bias"], k2, p2["bias"],
                             float(norm_module.epsilon), x, dt, deterministic)
 
 
+def _ln_mlp_admissible(C, H, deterministic) -> bool:
+    from mspi_tpu.ops.pallas import mlp_hybrid_enabled
+
+    if fits_vmem(C, H):
+        return True
+    if not fits_vmem_fwd(C, H):
+        return False
+    # big-C: fwd-only budget.  Inference always; training via the hybrid
+    # fused-fwd/XLA-bwd route (gated MSPI_MLP_HYBRID).
+    return bool(deterministic) or mlp_hybrid_enabled()
+
+
 def _dispatch_ln_mlp(pn, k1, b1, k2, b2, eps, x, dt, deterministic):
     from mspi_tpu.ops.pallas import pallas_interpret, quant_int8_enabled
 
-    C = k1.shape[0]
+    C, H = k1.shape
     shape = x.shape
     x3 = x.reshape(shape[0], -1, C) if x.ndim != 3 else x
     if deterministic and quant_int8_enabled() and C >= QUANT_MIN_C:
@@ -573,10 +649,13 @@ def _dispatch_ln_mlp(pn, k1, b1, k2, b2, eps, x, dt, deterministic):
             x3.astype(dt), pn["scale"], pn["bias"], k1, b1, k2, b2,
             eps=eps, interpret=pallas_interpret())
         return out.reshape(shape)
-    out = fused_ln_mlp(x3.astype(dt), pn["scale"].astype(dt),
-                       pn["bias"].astype(dt), k1.astype(dt), b1.astype(dt),
-                       k2.astype(dt), b2.astype(dt), eps=eps,
-                       interpret=pallas_interpret())
+    fn = fused_ln_mlp
+    if not fits_vmem(C, H) and not deterministic:
+        fn = fused_ln_mlp_hybrid  # big-C in training: fused fwd, XLA bwd
+    out = fn(x3.astype(dt), pn["scale"].astype(dt),
+             pn["bias"].astype(dt), k1.astype(dt), b1.astype(dt),
+             k2.astype(dt), b2.astype(dt), eps=eps,
+             interpret=pallas_interpret())
     return out.reshape(shape)
 
 

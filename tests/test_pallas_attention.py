@@ -374,6 +374,74 @@ def test_fused_ln_mlp_matches_reference(rng):
                                    atol=5e-4, rtol=1e-4)
 
 
+def test_fused_ln_mlp_hybrid_matches_reference(rng):
+    """Hybrid big-C training path (r4): fused Pallas fwd + XLA-autodiff bwd
+    must match the plain math for BOTH the output and all 7 grads."""
+    from mspi_tpu.ops.pallas.mlp import fused_ln_mlp_hybrid
+
+    B, N, C, H = 2, 96, 32, 128
+    x = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32))
+    g = jnp.asarray(1.0 + 0.1 * rng.standard_normal(C).astype(np.float32))
+    be = jnp.asarray(0.1 * rng.standard_normal(C).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((C, H)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.standard_normal(H).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.standard_normal((H, C)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+
+    def ref(x, g, be, w1, b1, w2, b2):
+        from mspi_tpu.ops import gelu
+
+        mu = x.mean(-1, keepdims=True)
+        var = (x * x).mean(-1, keepdims=True) - mu * mu
+        z = (x - mu) * jax.lax.rsqrt(var + 1e-6) * g + be
+        return gelu(z @ w1 + b1) @ w2 + b2
+
+    out = fused_ln_mlp_hybrid(x, g, be, w1, b1, w2, b2, eps=1e-6,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(ref(x, g, be, w1, b1, w2, b2)),
+                               atol=3e-5)
+
+    wgt = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32))
+    g_f = jax.grad(lambda *a: jnp.sum(fused_ln_mlp_hybrid(
+        *a, eps=1e-6, interpret=True) * wgt), argnums=tuple(range(7)))(
+        x, g, be, w1, b1, w2, b2)
+    g_r = jax.grad(lambda *a: jnp.sum(ref(*a) * wgt),
+                   argnums=tuple(range(7)))(x, g, be, w1, b1, w2, b2)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-4)
+
+
+def test_big_c_training_routes_hybrid(rng, monkeypatch):
+    """A big-C Mlp block (fits_vmem_fwd but not fits_vmem) must take the
+    fused path in training when hybrid is on, and the unfused path (None)
+    when MSPI_MLP_HYBRID=0 — and grads must flow finitely through it."""
+    import flax.linen as nn
+
+    from mspi_tpu.models.fusion import Block
+    from mspi_tpu.ops.pallas.mlp import fits_vmem, fits_vmem_fwd
+
+    C, H = 512, 2048  # the SyncBlock shape: the smallest real big-C case
+    assert not fits_vmem(C, H) and fits_vmem_fwd(C, H)
+    blk = Block(dim=C, num_heads=8)
+    x = jnp.asarray(rng.standard_normal((1, 16, C)).astype(np.float32))
+    v = blk.init(jax.random.PRNGKey(0), x)
+    ref_loss, ref_grads = jax.value_and_grad(
+        lambda v_: jnp.sum(blk.apply(v_, x, train=True) ** 2))(v)
+
+    monkeypatch.setenv("MSPI_PALLAS_INTERPRET", "1")
+    loss, grads = jax.value_and_grad(
+        lambda v_: jnp.sum(blk.apply(v_, x, train=True) ** 2))(v)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+    a = jax.tree.leaves(grads)
+    b = jax.tree.leaves(ref_grads)
+    for ga, gb in zip(a, b):
+        assert np.all(np.isfinite(np.asarray(ga)))
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   atol=2e-3, rtol=2e-3)
+
+
 def test_block_level_ln_mlp_fused_path(rng, monkeypatch):
     """fusion.Block end to end: fused LN+MLP path == plain path."""
     from mspi_tpu.models.fusion import Block
