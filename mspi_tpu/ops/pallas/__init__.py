@@ -22,9 +22,13 @@ def pallas_interpret() -> bool:
 def mlp_hybrid_enabled() -> bool:
     """Hybrid fused-fwd/XLA-bwd routing for big-C LN+MLP blocks in TRAINING
     (MViT/Swin stage-4 768x3072, SyncBlock 512x2048 — fits_vmem_fwd but not
-    fits_vmem).  MSPI_MLP_HYBRID=0 reverts those blocks to the fully unfused
-    path (the pre-r4 behavior)."""
-    return os.environ.get("MSPI_MLP_HYBRID", "1") != "0"
+    fits_vmem).  Default OFF: the r4 flagship A/B measured 29.30 vs 29.74
+    clips/s control (batch 2 bf16, overlapping spreads) — the big-C blocks
+    sit at small N (stage-4 672 tokens, SyncBlock 372), so the fused fwd's
+    saved hidden round-trips don't cover the bwd's z/u/h recompute.  Kept
+    as an opt-in (MSPI_MLP_HYBRID=1): it also shrinks saved activations to
+    x, which matters under remat/batch-8 memory pressure."""
+    return os.environ.get("MSPI_MLP_HYBRID", "0") == "1"
 
 
 def quant_int8_enabled() -> bool:

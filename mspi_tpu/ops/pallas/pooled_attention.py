@@ -166,7 +166,7 @@ def _fwd_impl(q, k, v, tq, interpret):
     )(q, k, v)
 
 
-def _bwd_impl(q, k, v, do, tq, interpret):
+def _bwd_impl(q, k, v, do, tq, interpret, vmem_limit=None):
     B, H, Nq, Da = q.shape
     Nk, Dv = k.shape[2], v.shape[3]
     TQ = tq
@@ -178,6 +178,8 @@ def _bwd_impl(q, k, v, do, tq, interpret):
                            memory_space=pltpu.VMEM)
     kv_spec = lambda d: pl.BlockSpec((1, 1, Nk, d), lambda b, h, t: (b, h, 0, 0),
                                      memory_space=pltpu.VMEM)
+    params = (pltpu.CompilerParams(vmem_limit_bytes=int(vmem_limit))
+              if vmem_limit else None)
     dq, dk, dv = pl.pallas_call(
         _bwd_kernel,
         grid=grid,
@@ -192,6 +194,7 @@ def _bwd_impl(q, k, v, do, tq, interpret):
             jax.ShapeDtypeStruct((B, H, Nk, Dv), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=params,
     )(q, k, v, do)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
@@ -232,14 +235,27 @@ def _jnp_reference(q, k, v):
 
 def _attention_bwd(tq, interpret, res, do):
     q, k, v = res
-    # Cross-shape blocks with huge Nk (e.g. MViT stage-transition blocks at
-    # batch 8: Nq=768, Nk=2688, Da=142) can exceed the ~16 MB scoped-VMEM
-    # limit even at the minimum 128-row q-tile, because the resident k/v
-    # blocks + fp32 dk/dv accumulators dominate.  The forward still fits
-    # (smaller score footprint, no accumulators); only the backward falls
-    # back to XLA's recompute-and-differentiate for those blocks.
+    # Cross-shape blocks with huge Nk (e.g. MViT stage-transition blocks:
+    # Nq=10752, Nk=2688, Da=142 at stage 2) can exceed the ~16 MB
+    # scoped-VMEM limit even at the minimum 128-row q-tile, because the
+    # resident k/v blocks + fp32 dk/dv accumulators dominate.  The forward
+    # still fits (smaller score footprint, no accumulators).  For those
+    # shapes we retry the kernel with an explicit raised Mosaic
+    # vmem_limit_bytes up to MSPI_ATTN_BWD_VMEM_EXT (the r4 train profile
+    # measured the jnp fallback at ~10% of the whole train step: it
+    # materialises f32 [Nq, Nk] score tensors in HBM); only beyond the
+    # extended cap does the XLA recompute-and-differentiate fallback run.
+    need = _bwd_vmem_bytes(tq, k.shape[2], q.shape[3], v.shape[3])
     limit = int(os.environ.get("MSPI_ATTN_BWD_VMEM_LIMIT", 14 * 1024 * 1024))
-    if _bwd_vmem_bytes(tq, k.shape[2], q.shape[3], v.shape[3]) > limit:
+    # Default 24 MB: the r4 lab (tools/bench_attn_bwd.py) measured Mosaic
+    # compiling + running all three flagship transition shapes (~20 MB
+    # estimated) at 11-19 ms vs 157-3590 ms for the jnp fallback, and the
+    # fallback was ~10% of the whole train step (docs/PROFILE_TRAIN_r4.txt).
+    ext = int(os.environ.get("MSPI_ATTN_BWD_VMEM_EXT", 24 * 1024 * 1024))
+    if need > limit:
+        if ext and need <= ext:
+            return _bwd_impl(q, k, v, do, tq, interpret,
+                             vmem_limit=need + (1 << 20))
         _, vjp = jax.vjp(_jnp_reference, q, k, v)
         return vjp(do)
     return _bwd_impl(q, k, v, do, tq, interpret)

@@ -431,6 +431,7 @@ def test_big_c_training_routes_hybrid(rng, monkeypatch):
         lambda v_: jnp.sum(blk.apply(v_, x, train=True) ** 2))(v)
 
     monkeypatch.setenv("MSPI_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("MSPI_MLP_HYBRID", "1")  # opt-in since the r4 null
     loss, grads = jax.value_and_grad(
         lambda v_: jnp.sum(blk.apply(v_, x, train=True) ** 2))(v)
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
@@ -757,3 +758,23 @@ def test_convnext_block2d_transposed_fused_path(rng, monkeypatch):
     monkeypatch.setenv("MSPI_PRIOR_FUSED_T", "1")
     out = blk.apply(v, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_pooled_attention_bwd_extended_vmem_route(rng, monkeypatch):
+    """r4: shapes over the 14 MB bwd gate now run the kernel with a raised
+    Mosaic vmem_limit (MSPI_ATTN_BWD_VMEM_EXT) instead of the score-
+    materialising jnp fallback.  Force the route with a tiny base limit and
+    check grads stay correct through it."""
+    B, H, Nq, Nk, D = 1, 2, 128, 24, 16
+    q = jnp.asarray(rng.standard_normal((B, H, Nq, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, Nk, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, Nk, D)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((B, H, Nq, D)).astype(np.float32))
+
+    monkeypatch.setenv("MSPI_ATTN_BWD_VMEM_LIMIT", "1000")  # force need>limit
+    g_f = jax.grad(lambda q, k, v: jnp.sum(
+        fused_attention(q, k, v, interpret=True) * w), argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(lambda q, k, v: jnp.sum(
+        _ref_attention(q, k, v) * w), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)

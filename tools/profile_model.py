@@ -43,6 +43,12 @@ def summarize_trace(trace_dir: str, top: int):
                  and e.get("name") == "process_name"}
     device_pids = {p for p, n in pid_names.items()
                    if any(k in n for k in ("TPU", "Device", "/device"))}
+    # skip aggregate lanes ("Steps" = whole-step spans, "XLA Modules" =
+    # whole-program spans) — counting them once double-counted every leaf op
+    skip_tids = {(e.get("pid"), e.get("tid"))
+                 for e in events if e.get("ph") == "M"
+                 and e.get("name") == "thread_name"
+                 and e.get("args", {}).get("name") in ("Steps", "XLA Modules")}
     per_op = collections.Counter()
     per_cat = collections.Counter()
     per_phase = collections.Counter()          # fwd / bwd / optim
@@ -54,20 +60,22 @@ def summarize_trace(trace_dir: str, top: int):
             continue
         if device_pids and e.get("pid") not in device_pids:
             continue
+        if (e.get("pid"), e.get("tid")) in skip_tids:
+            continue
         name = e.get("name", "?")
         # skip the enclosing program event (spans all child thunks —
         # counting it would double every leaf op)
         if name.startswith(("jit_", "jit__", "pjit")):
             continue
         a = e.get("args", {})
-        # fwd/bwd attribution: JAX cotangent ops carry "transpose(" in the
-        # jaxpr path recorded as the HLO op_name ("long_name" in the trace);
-        # optax update ops attribute their source to optax.
-        long = a.get("long_name", "") or a.get("tf_op", "")
+        # fwd/bwd attribution: the trace's tf_op is the jaxpr path
+        # ("jit(train_step)/jvp(...)/..."); cotangent ops carry
+        # "transpose(" in it; optax update ops attribute to optax source.
+        tf_op = a.get("tf_op", "")
         src0 = a.get("source", "")
-        if "optax" in src0 or "/optim" in src0:
+        if "optax" in src0 or "optax" in tf_op:
             phase = "optim"
-        elif "transpose(" in long:
+        elif "transpose(" in tf_op:
             phase = "bwd"
         else:
             phase = "fwd"
