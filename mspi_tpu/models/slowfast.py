@@ -16,10 +16,12 @@ mspi_tpu/convert/caffe2.py.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from mspi_tpu.config import SlowFastConfig
@@ -29,6 +31,77 @@ from mspi_tpu.ops import batchnorm, conv3d
 _STAGE_DEPTH = {18: (2, 2, 2, 2), 50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
 # "slowfast" temporal kernel basis (sf.py:74-80)
 _TEMP_KERNEL = [[[1], [5]], [[1], [3]], [[1], [3]], [[3], [3]], [[3], [3]]]
+
+
+# ---------------- T-folded fast pathway (inference) ----------------
+#
+# The fast pathway's channel widths (8 at the stem, 32/64/128 through
+# s2-s4) are far below the 128-lane tile, so every fast-pathway tensor and
+# conv pays up to a 16x lane-padding tax (r3 profile: the [8,16,112,192,8]
+# stem-output fusion alone is ~10.8 ms/iter, 7.8% of the slowfast step).
+# TPU-first fix: at inference, fold T into the channel dim ([B,T,H,W,C] ->
+# [B,H,W,T*C]) and lower every fast conv as a 2-D conv over the folded dim
+# whose weights are the original kernels placed banded (temporal taps) /
+# block-diagonally (per-frame convs) with zeros elsewhere — EXACT math
+# (zero taps contribute nothing), full-lane MXU contractions, same param
+# tree (folding happens at trace time from the bound variables, so
+# checkpoints/converter are untouched).  The extra FLOPs of the zero blocks
+# (~16x on paper) are cheap MXU work replacing pathological padded-lane
+# fusions.  Gated to inference: folded BN uses running stats as a
+# per-(t,c)-tiled affine, which is exact in eval but would change train-mode
+# batch-stat shapes.  MSPI_SF_FOLDT=0 disables; =1 forces (CPU parity test).
+# Reference pathway being re-laid-out: /root/reference/backbones/sf.py:136-149.
+
+
+def fold_t_enabled() -> bool:
+    env = os.environ.get("MSPI_SF_FOLDT", "")
+    if env == "0" or os.environ.get("MSPI_DISABLE_PALLAS"):
+        return False
+    if env == "1":
+        return True
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _fold_kernel_t(w5: jnp.ndarray, t_in: int, t_stride: int = 1,
+                   t_pad: int | None = None) -> jnp.ndarray:
+    """[kt,kh,kw,Ci,Co] -> [kh,kw, t_in*Ci, t_out*Co] banded temporal fold
+    (t_out = ceil(t_in / t_stride), torch-style padding kt//2 by default).
+    Zero rows implement the temporal zero-padding exactly."""
+    kt, kh, kw, ci, co = w5.shape
+    pad = kt // 2 if t_pad is None else t_pad
+    t_out = -(-t_in // t_stride)
+    sel = np.zeros((t_in, kt, t_out), np.float32)
+    for to in range(t_out):
+        for k in range(kt):
+            ti = to * t_stride + k - pad
+            if 0 <= ti < t_in:
+                sel[ti, k, to] = 1.0
+    wf = jnp.einsum("tku,khwio->hwtiuo", jnp.asarray(sel, w5.dtype), w5)
+    return wf.reshape(kh, kw, t_in * ci, t_out * co)
+
+
+def _folded_conv(x, w5, t_in, stride_hw=1, pad_hw=0, t_stride=1):
+    """2-D conv of the folded stream by the folded kernel."""
+    wf = _fold_kernel_t(w5, t_in, t_stride)
+    s = (stride_hw, stride_hw) if isinstance(stride_hw, int) else tuple(stride_hw)
+    p = (pad_hw, pad_hw) if isinstance(pad_hw, int) else tuple(pad_hw)
+    return jax.lax.conv_general_dilated(
+        x, wf.astype(x.dtype), window_strides=s,
+        padding=[(p[0], p[0]), (p[1], p[1])],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _folded_bn(bn: nn.BatchNorm, x, t: int, relu: bool):
+    """Inference BN as a T-tiled per-channel affine from running stats."""
+    p = bn.variables["params"]
+    s = bn.variables["batch_stats"]
+    scale = (p["scale"].astype(jnp.float32)
+             * jax.lax.rsqrt(s["var"].astype(jnp.float32) + bn.epsilon))
+    bias = p["bias"].astype(jnp.float32) - s["mean"].astype(jnp.float32) * scale
+    scale = jnp.tile(scale, t).astype(x.dtype)
+    bias = jnp.tile(bias, t).astype(x.dtype)
+    y = x * scale + bias
+    return jax.nn.relu(y) if relu else y
 
 
 class FuseFastToSlow(nn.Module):
@@ -100,6 +173,8 @@ class SlowFastFeatures(nn.Module):
         # Two-pathway wrap (model_utils.py:521-524): slow = frames {0,4,12,-1}
         slow = jnp.stack([clips[:, 0], clips[:, 4], clips[:, 12], clips[:, -1]], axis=1)
         x = [slow, clips]
+        if (not train and not self.is_initializing() and fold_t_enabled()):
+            return self._forward_folded(x)
         x = self.s1_fuse(self.s1(x, train=train), train=train)
         x = self.s2_fuse(self.s2(x, train=train), train=train)
         feas = [x[0]]
@@ -110,4 +185,67 @@ class SlowFastFeatures(nn.Module):
         feas.append(x[0])
         x = self.s5(x, train=train)
         feas.append(x[0])
+        return feas
+
+    # ---- T-folded fast pathway (see module block comment) ----
+
+    def _folded_fuse(self, fuse: FuseFastToSlow, x_s, x_ff, t: int):
+        k = fuse.conv_f2s.variables["params"]["kernel"]  # [kt,1,1,ci,co]
+        y = _folded_conv(x_ff, k, t, t_stride=fuse.alpha)
+        t_out = -(-t // fuse.alpha)
+        y = _folded_bn(fuse.bn, y, t_out, relu=True)
+        b, hh, ww, _ = y.shape
+        y5 = y.reshape(b, hh, ww, t_out, k.shape[-1]).transpose(0, 3, 1, 2, 4)
+        return jnp.concatenate([x_s, y5], axis=-1)
+
+    def _folded_resblock(self, blk, x, t: int):
+        tr = blk.branch2  # BottleneckTransform (groups == 1 for slowfast)
+        y = _folded_conv(x, tr.a.variables["params"]["kernel"], t)
+        y = _folded_bn(tr.a_bn, y, t, relu=True)
+        y = _folded_conv(y, tr.b.variables["params"]["kernel"], t,
+                         stride_hw=tr.stride, pad_hw=1)
+        y = _folded_bn(tr.b_bn, y, t, relu=True)
+        y = _folded_conv(y, tr.c.variables["params"]["kernel"], t)
+        y = _folded_bn(tr.c_bn, y, t, relu=False)
+        if blk.has_branch1:
+            sc = _folded_conv(x, blk.branch1.variables["params"]["kernel"], t,
+                              stride_hw=blk.stride)
+            sc = _folded_bn(blk.branch1_bn, sc, t, relu=False)
+        else:
+            sc = x
+        return jax.nn.relu(sc + y)
+
+    def _stage_split(self, stage: ResStage, x_s, x_ff, t: int):
+        # slow pathway exactly as ResStage runs it (slowfast has no
+        # non-local blocks; the folded gate asserts that)
+        for i in range(stage.num_blocks[0]):
+            x_s = getattr(stage, f"pathway0_res{i}")(x_s, train=False)
+        for i in range(stage.num_blocks[1]):
+            x_ff = self._folded_resblock(
+                getattr(stage, f"pathway1_res{i}"), x_ff, t)
+        return x_s, x_ff
+
+    def _forward_folded(self, x) -> Sequence[jnp.ndarray]:
+        assert not any(
+            list(st.nonlocal_inds[p]) if st.nonlocal_inds else []
+            for st in (self.s2, self.s3, self.s4, self.s5) for p in (0, 1)), \
+            "folded fast pathway does not support non-local blocks"
+        x_s, x_f5 = self.s1(x, train=False)
+        b, t, hh, ww, c = x_f5.shape
+        x_ff = x_f5.transpose(0, 2, 3, 1, 4).reshape(b, hh, ww, t * c)
+        x_s = self._folded_fuse(self.s1_fuse, x_s, x_ff, t)
+        x_s, x_ff = self._stage_split(self.s2, x_s, x_ff, t)
+        x_s = self._folded_fuse(self.s2_fuse, x_s, x_ff, t)
+        feas = [x_s]
+        x_s, x_ff = self._stage_split(self.s3, x_s, x_ff, t)
+        x_s = self._folded_fuse(self.s3_fuse, x_s, x_ff, t)
+        feas.append(x_s)
+        x_s, x_ff = self._stage_split(self.s4, x_s, x_ff, t)
+        x_s = self._folded_fuse(self.s4_fuse, x_s, x_ff, t)
+        feas.append(x_s)
+        # s5 fast output feeds nothing (the plain path's is DCE'd by XLA);
+        # only the slow pathway contributes the last pyramid level
+        for i in range(self.s5.num_blocks[0]):
+            x_s = getattr(self.s5, f"pathway0_res{i}")(x_s, train=False)
+        feas.append(x_s)
         return feas

@@ -110,3 +110,34 @@ def test_slowfast_parity_and_shapes(rng):
     for ours, r in zip(feats, ref_feats):
         np.testing.assert_allclose(to_ncthw(np.array(ours)), r.numpy(),
                                    atol=1e-3, rtol=1e-3)
+
+
+def test_slowfast_folded_fast_pathway_matches_plain(rng, monkeypatch):
+    """r4 T-folded fast pathway (MSPI_SF_FOLDT=1): banded/block-diagonal
+    folded convs + tiled-affine BN must reproduce the plain 5-D pathway
+    exactly (zero taps contribute nothing; eval BN is an affine)."""
+    import jax.tree_util as jtu
+
+    H, W = 64, 96
+    model = SlowFastFeatures(cfg=SlowFastConfig())
+    x = jnp.asarray(rng.standard_normal((1, 16, H, W, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    # non-trivial running stats so the folded BN affine is really exercised
+    def jiggle(path, a):
+        leaf = jtu.keystr(path[-1:])
+        n = jnp.asarray(rng.standard_normal(a.shape).astype(a.dtype))
+        return a + 0.2 * jnp.abs(n) + 0.1 if "var" in leaf else a + 0.2 * n
+
+    variables = dict(variables)
+    variables["batch_stats"] = jtu.tree_map_with_path(
+        jiggle, variables["batch_stats"])
+
+    monkeypatch.setenv("MSPI_SF_FOLDT", "0")
+    ref = model.apply(variables, x)
+    monkeypatch.setenv("MSPI_SF_FOLDT", "1")
+    out = model.apply(variables, x)
+    for a, b in zip(out, ref):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
