@@ -38,6 +38,7 @@ from mspi_tpu.ops import (
     batchnorm,
     conv2d,
     conv3d,
+    conv3d_tapgrad,
     dense_split,
     dense,
     gelu,
@@ -220,6 +221,10 @@ class ConvNextBlock3d(nn.Module):
         # form is a measured flagship NULL, opt-in via MSPI_TDW_STENCIL
         self.dwconv_t = TemporalDWConv(self.dim, 7, kernel_init=ti,
                                        bias_init=zeros)
+        # depthwise stays on nn.Conv autodiff: the tap-grad form's 49
+        # slice-multiply-reduce taps re-read the full stream per tap
+        # (measured ~7.3 ms/step vs XLA's ~1.1 — r4 profile); only DENSE
+        # convs win from tap matmuls
         self.dwconv_s = conv3d(self.dim, self.dim, (1, 7, 7), padding=(0, 3, 3),
                                groups=self.dim, kernel_init=ti, bias_init=zeros)
         self.norm = LayerNorm3d(self.dim)
@@ -357,7 +362,7 @@ def _latlayer(in_dim: int, de_dim: int, temporal: bool, stride: int) -> Sequenti
     temporal-stride conv, factorised ConvNeXt block."""
     layers = [pconv3d(in_dim, de_dim)]
     if temporal:
-        layers.append(conv3d(de_dim, de_dim, (stride, 1, 1), (stride, 1, 1), bias=False))
+        layers.append(conv3d_tapgrad(de_dim, de_dim, (stride, 1, 1), (stride, 1, 1), bias=False))
     layers.append(ConvNextBlock3d(de_dim))
     return Sequential(layers)
 
@@ -377,14 +382,14 @@ def _readout(de_dim: int) -> Sequential:
       (see its docstring; identical params)."""
     return Sequential([
         pconv3d(de_dim * 4, de_dim),
-        conv3d(de_dim, de_dim, 3, 1, 1),
+        conv3d_tapgrad(de_dim, de_dim, 3, 1, 1),
         batchnorm(), ReLU(),
-        conv3d(de_dim, 64, (1, 3, 3), 1, (0, 1, 1)),
+        conv3d_tapgrad(de_dim, 64, (1, 3, 3), 1, (0, 1, 1)),
         batchnorm(), ReLU(),
         Upsample((1, 4, 4)),
-        conv3d(64, 32, (4, 1, 1), (4, 1, 1), 0),
+        conv3d_tapgrad(64, 32, (4, 1, 1), (4, 1, 1), 0),
         ReLU(),
-        conv3d(32, 32, (1, 3, 3), 1, (0, 1, 1)),
+        conv3d_tapgrad(32, 32, (1, 3, 3), 1, (0, 1, 1)),
         ReLU(),
         MapConv3d(32, (3, 3)),
     ], order=(0, 1, 2, 3, 4, 5, 6, 8, 7, 9, 10, 11, 12))

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import math
 import os
+from functools import partial
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
@@ -197,6 +198,119 @@ def pconv3d(in_features: int, features: int, bias: bool = True, dtype=None,
     return PointwiseConv3d(in_features, features, use_bias=bias, dtype=dtype,
                            kernel_init=kernel_init, bias_init=bias_init,
                            name=name)
+
+
+def _tapgrad_conv_fwd_op(x, w, stride, padding, groups):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=stride, padding=[(p, p) for p in padding],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        feature_group_count=groups)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _tapgrad_conv(x, w, stride, padding, groups):
+    return _tapgrad_conv_fwd_op(x, w, stride, padding, groups)
+
+
+def _tapgrad_conv_fwd(x, w, stride, padding, groups):
+    return _tapgrad_conv_fwd_op(x, w, stride, padding, groups), (x, w)
+
+
+def _tapgrad_conv_bwd(stride, padding, groups, res, dy):
+    x, w = res
+    kt, kh, kw, cig, co = w.shape
+    B, _, _, _, Ci = x.shape
+    _, To, Ho, Wo, _ = dy.shape
+    st, sh, sw = stride
+    # dx: the same conv-transpose XLA's autodiff emits (it was never the
+    # slow part — only the weight-grad emitter is)
+    dx = jax.linear_transpose(
+        lambda x_: _tapgrad_conv_fwd_op(x_, w, stride, padding, groups),
+        jax.ShapeDtypeStruct(x.shape, x.dtype))(dy)[0]
+    xp = jnp.pad(x, ((0, 0), (padding[0],) * 2, (padding[1],) * 2,
+                     (padding[2],) * 2, (0, 0)))
+    dyf = dy.reshape(-1, co)
+    taps = []
+    for dt_ in range(kt):
+        for dh_ in range(kh):
+            for dw_ in range(kw):
+                xs = jax.lax.slice(
+                    xp, (0, dt_, dh_, dw_, 0),
+                    (B, dt_ + (To - 1) * st + 1, dh_ + (Ho - 1) * sh + 1,
+                     dw_ + (Wo - 1) * sw + 1, Ci),
+                    (1, st, sh, sw, 1)).reshape(-1, Ci)
+                if groups == 1:
+                    taps.append(jax.lax.dot_general(
+                        xs, dyf, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))  # [Ci, Co]
+                else:  # depthwise (cig == 1, co == groups == Ci)
+                    taps.append(jnp.sum(
+                        xs.astype(jnp.float32) * dyf.astype(jnp.float32),
+                        axis=0)[None])  # [1, Co]
+    dw = jnp.stack(taps).reshape(kt, kh, kw, cig, co).astype(w.dtype)
+    return dx, dw
+
+
+_tapgrad_conv.defvjp(_tapgrad_conv_fwd, _tapgrad_conv_bwd)
+
+
+class TapGradConv3d(nn.Module):
+    """conv3d whose WEIGHT GRAD is computed as per-tap token matmuls —
+    identical forward lowering and param tree to nn.Conv, so checkpoints
+    and the converter are untouched.
+
+    XLA's conv weight-grad emitter runs the decoder's small-T 5-D convs
+    far off the matmul roofline (r4 train profile: the readout 3x3x3
+    192->192 dW fusion alone was 5.5 ms/step at batch 2, ~13x off).
+    dW[tap] = x_shifted^T dy flattened over (B,T,H,W) rides the plain MXU
+    matmul emitter (fp32 accumulation; depthwise groups reduce on the VPU);
+    dx keeps XLA's conv-transpose via linear_transpose of the forward.
+    Supports groups == 1 and full depthwise (groups == Cin == Cout).
+    MSPI_DISABLE_TAPGRAD=1 restores plain nn.Conv autodiff for A/B."""
+
+    in_features: int
+    features: int
+    kernel_size: Tuple[int, int, int]
+    stride: Tuple[int, int, int] = (1, 1, 1)
+    padding: Tuple[int, int, int] = (0, 0, 0)
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    kernel_init: Optional[Callable] = None
+    bias_init: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        fan_in = (self.in_features // self.groups) * math.prod(k)
+        kernel = self.param("kernel", self.kernel_init or torch_kernel_init,
+                            (*k, self.in_features // self.groups,
+                             self.features))
+        bias = (self.param("bias", self.bias_init or torch_bias_init(fan_in),
+                           (self.features,)) if self.use_bias else None)
+        from flax.linen.dtypes import promote_dtype
+
+        dt = self.dtype if self.dtype is not None else default_compute_dtype()
+        x, kernel, bias = promote_dtype(x, kernel, bias, dtype=dt)
+        if os.environ.get("MSPI_DISABLE_TAPGRAD"):
+            y = _tapgrad_conv_fwd_op(x, kernel, self.stride, self.padding,
+                                     self.groups)
+        else:
+            y = _tapgrad_conv(x, kernel, self.stride, self.padding,
+                              self.groups)
+        return y + bias if bias is not None else y
+
+
+def conv3d_tapgrad(in_features: int, features: int, kernel_size: IntOrTuple,
+                   stride: IntOrTuple = 1, padding: IntOrTuple = 0,
+                   groups: int = 1, bias: bool = True, dtype=None,
+                   kernel_init=None, bias_init=None,
+                   name: Optional[str] = None) -> TapGradConv3d:
+    """Drop-in for conv3d(...) with the tap-matmul weight grad."""
+    return TapGradConv3d(
+        in_features, features, _to_tuple(kernel_size, 3),
+        _to_tuple(stride, 3), _to_tuple(padding, 3), groups, bias, dtype,
+        kernel_init, bias_init, name=name)
 
 
 def _s2d_enabled() -> bool:

@@ -312,3 +312,39 @@ def test_stem_uint8_fold_matches_normalized(rng):
     np.testing.assert_allclose(np.asarray(stem3.apply(v3, jnp.asarray(u8))),
                                np.asarray(stem3.apply(v3, norm)),
                                atol=2e-4, rtol=1e-4)
+
+
+def test_tapgrad_conv3d_matches_nn_conv(rng):
+    """TapGradConv3d (r4): fwd identical to nn.Conv, grads (dx, dW, db)
+    match plain-conv autodiff — dense, strided, and depthwise forms."""
+    import jax
+    from mspi_tpu.ops.layers import conv3d, conv3d_tapgrad
+
+    cases = [
+        dict(cin=12, cout=16, k=(3, 3, 3), s=1, p=1, g=1),
+        dict(cin=12, cout=8, k=(4, 1, 1), s=(4, 1, 1), p=0, g=1),
+        dict(cin=12, cout=12, k=(1, 7, 7), s=1, p=(0, 3, 3), g=12),
+    ]
+    x = jnp.asarray(rng.standard_normal((2, 4, 10, 12, 12)).astype(np.float32))
+    for c in cases:
+        ref_m = conv3d(c["cin"], c["cout"], c["k"], c["s"], c["p"], groups=c["g"])
+        tap_m = conv3d_tapgrad(c["cin"], c["cout"], c["k"], c["s"], c["p"],
+                               groups=c["g"])
+        v = ref_m.init(jax.random.PRNGKey(0), x)
+        # param trees must be identical (converter parity)
+        assert jax.tree.structure(v) == jax.tree.structure(
+            tap_m.init(jax.random.PRNGKey(0), x))
+
+        y_ref = ref_m.apply(v, x)
+        y_tap = tap_m.apply(v, x)
+        np.testing.assert_allclose(np.asarray(y_tap), np.asarray(y_ref),
+                                   atol=1e-5, rtol=1e-5)
+
+        w = jnp.asarray(rng.standard_normal(y_ref.shape).astype(np.float32))
+        g_ref = jax.grad(lambda v_, x_: jnp.sum(ref_m.apply(v_, x_) * w),
+                         argnums=(0, 1))(v, x)
+        g_tap = jax.grad(lambda v_, x_: jnp.sum(tap_m.apply(v_, x_) * w),
+                         argnums=(0, 1))(v, x)
+        for a, b in zip(jax.tree.leaves(g_tap), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=2e-4)

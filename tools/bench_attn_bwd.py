@@ -72,11 +72,12 @@ def main():
                 argnums=(0, 1, 2)))
 
         os.environ.pop("MSPI_ATTN_BWD_VMEM_EXT", None)
-        try:
-            t_fb = timed(make_grad(), q, k, v)
-        except Exception as e:
-            t_fb = float("nan")
-            print("fallback failed:", repr(e)[:120])
+        t_fb = float("nan")
+        if os.environ.get("MSPI_LAB_FALLBACK", "1") != "0":
+            try:
+                t_fb = timed(make_grad(), q, k, v)
+            except Exception as e:
+                print("fallback failed:", repr(e)[:120])
 
         os.environ["MSPI_ATTN_BWD_VMEM_EXT"] = str(64 * 1024 * 1024)
         try:
@@ -85,10 +86,22 @@ def main():
         except Exception as e:
             t_k = float("nan")
             err = repr(e)[:160]
+
+        # bwd q-tile sweep under the raised limit (TQ=128 was forced by the
+        # old 14 MB gate; bigger tiles amortize the per-step DMA overhead)
+        sweep = []
+        for tile in (256, 512):
+            os.environ["MSPI_ATTN_TILE"] = str(tile)
+            try:
+                sweep.append((tile, timed(make_grad(), q, k, v)))
+            except Exception as e:
+                sweep.append((tile, float("nan")))
+            os.environ.pop("MSPI_ATTN_TILE", None)
         os.environ.pop("MSPI_ATTN_BWD_VMEM_EXT", None)
 
+        sw = "  ".join(f"tq{t}={ms:.3f}ms" for t, ms in sweep)
         print(f"B{B} H{H} Nq{Nq} Nk{Nk} Da{Da}: tq={tq} need={need/1e6:.1f}MB"
-              f"  fallback={t_fb:.3f}ms  kernel={t_k:.3f}ms  {err}")
+              f"  fallback={t_fb:.3f}ms  kernel={t_k:.3f}ms  {sw}  {err}")
 
 
 if __name__ == "__main__":
