@@ -128,6 +128,7 @@ def _tile(nq: int, nk: int, score_bytes: int) -> int:
 # fwd TQ=200, bwd TQ=128 -> tail dq rows uninitialized).
 _BWD_SCORE_BYTES = 20
 _FWD_SCORE_BYTES = 8
+_EXT_DEFAULT = 32 * 1024 * 1024  # see _attention_bwd
 
 
 def _fwd_tile(nq: int, nk: int, tq_bwd: int) -> int:
@@ -247,11 +248,13 @@ def _attention_bwd(tq, interpret, res, do):
     # extended cap does the XLA recompute-and-differentiate fallback run.
     need = _bwd_vmem_bytes(tq, k.shape[2], q.shape[3], v.shape[3])
     limit = int(os.environ.get("MSPI_ATTN_BWD_VMEM_LIMIT", 14 * 1024 * 1024))
-    # Default 24 MB: the r4 lab (tools/bench_attn_bwd.py) measured Mosaic
-    # compiling + running all three flagship transition shapes (~20 MB
-    # estimated) at 11-19 ms vs 157-3590 ms for the jnp fallback, and the
-    # fallback was ~10% of the whole train step (docs/PROFILE_TRAIN_r4.txt).
-    ext = int(os.environ.get("MSPI_ATTN_BWD_VMEM_EXT", 24 * 1024 * 1024))
+    # Default 32 MB: the r4 lab (tools/bench_attn_bwd.py) measured Mosaic
+    # compiling + running all three flagship transition shapes with an
+    # explicit raised vmem_limit (up to 41.5 MB accepted) orders of
+    # magnitude faster than the jnp fallback, which was ~10% of the whole
+    # train step (docs/PROFILE_TRAIN_r4.txt); 32 MB admits the tq=256
+    # tiles the sweep preferred while staying well under what Mosaic took.
+    ext = int(os.environ.get("MSPI_ATTN_BWD_VMEM_EXT", _EXT_DEFAULT))
     if need > limit:
         if ext and need <= ext:
             return _bwd_impl(q, k, v, do, tq, interpret,
@@ -403,7 +406,19 @@ def fused_attention(
     size here (outside the custom_vjp, so padded rows carry zero cotangent
     and contribute nothing to dk/dv)."""
     B, H, Nq, _ = q.shape
-    TQ = _tile(Nq, k.shape[2], _BWD_SCORE_BYTES)
+    Nk = k.shape[2]
+    TQ = _tile(Nq, Nk, _BWD_SCORE_BYTES)
+    # Big-Nk blocks whose bwd runs under the extended Mosaic limit pick the
+    # biggest q-tile the limit affords: the r4 sweep (tools/bench_attn_bwd)
+    # measured tq=256 at 2-40x the forced-128 bwd at the MViT
+    # stage-transition shapes (128 was an artifact of the old 8 MB budget).
+    # (capped at 256: the forward grid runs multiples of the bwd tile, and
+    # a 512 bwd tile would push the forward's fp32 score block past ITS
+    # unraised VMEM budget)
+    if TQ < 256 and not os.environ.get("MSPI_ATTN_TILE"):
+        ext = int(os.environ.get("MSPI_ATTN_BWD_VMEM_EXT", _EXT_DEFAULT))
+        if _bwd_vmem_bytes(256, Nk, q.shape[3], v.shape[3]) <= ext:
+            TQ = 256
     pad = -Nq % TQ
     if pad:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
