@@ -170,8 +170,13 @@ def main():
             variables = {c: merge_converted(variables[c], conv.get(c, {}), strict=False)
                          for c in variables}
 
+    # variables is a jit ARGUMENT, not a closure: closed-over params embed
+    # as HLO constants, which bloats the serialized program past the remote
+    # compile service's body limit on the big backbones (mvitv2s hit HTTP
+    # 413 in the r4 northstar run) and defeats the persistent cache across
+    # checkpoints
     @jax.jit
-    def forward(clips_u8, audio):
+    def _forward(variables, clips_u8, audio):
         # raw uint8 straight into the model: the stems fold the ImageNet
         # affine into their weights (ops/layers.py _fold_uint8_affine), so
         # no normalized clip is materialized on device
@@ -180,6 +185,9 @@ def main():
         else:
             out, _ = model.apply(variables, clips_u8, train=False)
         return out
+
+    def forward(clips_u8, audio):
+        return _forward(variables, clips_u8, audio)
 
     device_post = make_device_post() if args.device_post else None
     names, videos_fps, _ = read_fold_list(args.path_data, args.dataset, "test", args.split)

@@ -36,13 +36,16 @@ def fits_vmem(c: int, h: int) -> bool:
     return c * h * (4 + 4) * 2 <= 10 * 1024 * 1024  # bf16/f32 W + fp32 dW, x2 mats
 
 
-def fits_vmem_fwd(c: int, h: int) -> bool:
-    """Forward-only budget: just the two bf16 weight blocks resident — no
-    fp32 dW accumulators.  Admits the big-C MLPs (MViT/Swin stage 4 and the
+def fits_vmem_fwd(c: int, h: int, itemsize: int = 2) -> bool:
+    """Forward-only budget: just the two resident weight blocks — no fp32
+    dW accumulators.  Admits the big-C MLPs (MViT/Swin stage 4 and the
     ConvNeXt prior stage 3 at 768x3072, SyncBlock at 512x2048) that the
     training gate rejects; callers use it only with deterministic=True, so
-    the backward (which would blow VMEM) is never built."""
-    return c * h * 2 * 2 <= 10 * 1024 * 1024
+    the backward (which would blow VMEM) is never built.  itemsize is the
+    COMPUTE dtype's: at fp32 the 768x3072 weights alone are 18.9 MB and
+    Mosaic's 16 MB scoped limit rejects the kernel (hit by the r4 fp32
+    northstar run) — those blocks stay unfused on the fp32 path."""
+    return c * h * itemsize * 2 <= 10 * 1024 * 1024
 
 
 # degree-16 Chebyshev fit of erf(z)/z over z in [-4, 4], Horner in the
@@ -589,9 +592,9 @@ def maybe_fused_ln_mlp(norm_module, mlp_module, x, deterministic=None):
     C, H = p1["kernel"].shape
     if p2["kernel"].shape != (H, C):
         return None
-    if not _ln_mlp_admissible(C, H, deterministic):
-        return None
     dt = getattr(mlp_module.fc1, "dtype", None) or x.dtype
+    if not _ln_mlp_admissible(C, H, deterministic, jnp.dtype(dt).itemsize):
+        return None
     return _dispatch_ln_mlp(pn, p1["kernel"], p1["bias"], p2["kernel"],
                             p2["bias"], float(norm_module.epsilon), x, dt,
                             deterministic)
@@ -619,19 +622,19 @@ def maybe_fused_ln_mlp_pw(norm_module, pw1, pw2, x, deterministic=None):
     C, H = k1.shape
     if k2.shape != (H, C):
         return None
-    if not _ln_mlp_admissible(C, H, deterministic):
-        return None
     dt = getattr(pw1, "dtype", None) or x.dtype
+    if not _ln_mlp_admissible(C, H, deterministic, jnp.dtype(dt).itemsize):
+        return None
     return _dispatch_ln_mlp(pn, k1, p1["bias"], k2, p2["bias"],
                             float(norm_module.epsilon), x, dt, deterministic)
 
 
-def _ln_mlp_admissible(C, H, deterministic) -> bool:
+def _ln_mlp_admissible(C, H, deterministic, itemsize: int = 2) -> bool:
     from mspi_tpu.ops.pallas import mlp_hybrid_enabled
 
     if fits_vmem(C, H):
         return True
-    if not fits_vmem_fwd(C, H):
+    if not fits_vmem_fwd(C, H, itemsize):
         return False
     # big-C: fwd-only budget.  Inference always; training via the hybrid
     # fused-fwd/XLA-bwd route (gated MSPI_MLP_HYBRID).

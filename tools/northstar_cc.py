@@ -43,27 +43,34 @@ sys.path.insert(0, REPO)
 RES = (224, 384)
 
 
-def _ref_cfg():
+def _ref_cfg(backbone: str = "s3d"):
     from easydict import EasyDict
 
     cfg = EasyDict()
     cfg.DATA = EasyDict()
     cfg.DATA.NUM_FRAMES = 16
     cfg.MODEL = EasyDict()
-    cfg.MODEL.MOTION_ENCODER = "s3d"
-    cfg.MODEL.MOTION_ENCODER_EMBEDS = {"s3d": (192, 480, 832, 1024)}
-    cfg.MODEL.NUM_VIS_TOKENS = {"s3d": 4 * (RES[0] // 32) * (RES[1] // 32)}
-    cfg.MODEL.LATERAL_BOOL = [True, True, False, False]
+    cfg.MODEL.MOTION_ENCODER = backbone
+    # per-backbone facts replayed from /root/reference/config.py:39-75
+    cfg.MODEL.MOTION_ENCODER_EMBEDS = {"s3d": (192, 480, 832, 1024),
+                                       "mvitv2s": (96, 192, 384, 768)}
+    cfg.MODEL.NUM_VIS_TOKENS = {
+        "s3d": 4 * (RES[0] // 32) * (RES[1] // 32),
+        "mvitv2s": 8 * (RES[0] // 32) * (RES[1] // 32)}
+    cfg.MODEL.LATERAL_BOOL = ([True, True, True, True] if backbone == "mvitv2s"
+                              else [True, True, False, False])
     cfg.MODEL.LATERAL_STRIDE = [2, 2, 2, 2]
     cfg.MODEL.MOTION_ENCODER_WEIGHT = "/nonexistent"
     cfg.MODEL.AUDIO_ENCODER_WEIGHT = "/nonexistent"
     cfg.MODEL.IMAGE_SALIENCY_ENCODER_WEIGHT = "/nonexistent"
     cfg.MODEL.S3D = EasyDict()
     cfg.MODEL.S3D.POOL_STRIDE = 1
+    cfg.MODEL.MVIT2 = EasyDict()
+    cfg.MODEL.MVIT2.PATH_CFG = ["/root/reference/configs/MVITv2_S_16x4.yaml"]
     return cfg
 
 
-def _install_stubs():
+def _install_stubs(backbone: str = "s3d"):
     import torch
 
     from tests.reference_utils import install_reference_stubs
@@ -188,22 +195,30 @@ def _install_stubs():
     # reference `from config import cfg` -> our S3D cfg (the real reference
     # config selects mvitv2s and hard-codes weight paths)
     cfg_mod = types.ModuleType("config")
-    cfg_mod.cfg = _ref_cfg()
+    cfg_mod.cfg = _ref_cfg(backbone)
     sys.modules["config"] = cfg_mod
 
-    # backbone factory: S3D only (avoids importing the whole zoo)
+    # backbone factory: S3D + the flagship MViT (avoids importing the rest
+    # of the zoo)
     gvb = types.ModuleType("model.get_video_backbones")
     from backbones.s3d import S3D_features_only
 
     def video_motion_extractor(cfg):
+        if cfg.MODEL.MOTION_ENCODER == "mvitv2s":
+            from backbones.MViT import MViT
+
+            return MViT(path_to_configs=cfg.MODEL.MVIT2.PATH_CFG)
         assert cfg.MODEL.MOTION_ENCODER == "s3d"
         return S3D_features_only(pool=cfg.MODEL.S3D.POOL_STRIDE)
 
     gvb.video_motion_extractor = video_motion_extractor
     sys.modules["model.get_video_backbones"] = gvb
 
-    # neutralise weight loading (no released weights in this image)
-    torch.load = lambda *a, **k: {}
+    # neutralise weight loading (no released weights in this image).  The
+    # stub dict answers the checkpoint-format keys the zoo loaders index
+    # ('model_state' at MViT.py:2079, 'state_dict') with empty dicts, and
+    # load_state_dict is a no-op, so every backbone keeps its seeded init.
+    torch.load = lambda *a, **k: {"model_state": {}, "state_dict": {}}
     torch.nn.Module.load_state_dict = lambda self, sd, strict=True: None
     S3D_features_only.load_weight = lambda self, p: None
 
@@ -243,6 +258,9 @@ def main():
     ap.add_argument("--workdir", default="/tmp/northstar")
     ap.add_argument("--frames", type=int, default=31)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--backbone", default="s3d", choices=["s3d", "mvitv2s"],
+                    help="s3d = fast check; mvitv2s = the flagship kernel "
+                         "stack end-to-end (longer torch-CPU + compile time)")
     args = ap.parse_args()
 
     work = args.workdir
@@ -263,11 +281,11 @@ def main():
 
     import torch
 
-    _install_stubs()
+    _install_stubs(args.backbone)
     ref_mod = _load_ref_inference()
 
     torch.manual_seed(7)
-    ref_model = ref_mod.SalModel(cfg=_ref_cfg())
+    ref_model = ref_mod.SalModel(cfg=_ref_cfg(args.backbone))
     ref_model.eval()
     torch.save(ref_model.state_dict(), weights)
 
@@ -285,7 +303,7 @@ def main():
         [sys.executable, os.path.join(REPO, "inference.py"),
          "--weight", weights, "--save_path", our_out, "--split", "1",
          "--path_data", data_root, "--dataset", "AVAD",
-         "--motion_encoder", "s3d"],
+         "--motion_encoder", args.backbone],
         check=True, cwd=REPO, env=env)
 
     from PIL import Image
@@ -310,16 +328,26 @@ def main():
     vals = np.array(list(ccs.values()))
     result = {
         "metric": "CC vs torch reference saliency maps (production "
-                  "inference.py pipelines, S3D backbone, seeded random "
-                  "weights, synthetic AVAD)",
+                  f"inference.py pipelines, {args.backbone} backbone, seeded "
+                  "random weights, synthetic AVAD)",
         "n_maps": len(ccs),
         "cc_mean": float(vals.mean()),
         "cc_min": float(vals.min()),
         "target": ">=0.999 (BASELINE.json north_star)",
     }
+    # per-backbone entries: the s3d artifact is the fast check, mvitv2s
+    # certifies the flagship kernel stack end-to-end (VERDICT r3 item 5)
     os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
-    with open(os.path.join(REPO, "docs", "NORTHSTAR_CC.json"), "w") as f:
-        json.dump(result, f, indent=2)
+    path = os.path.join(REPO, "docs", "NORTHSTAR_CC.json")
+    data = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+    if "entries" not in data:
+        data = {"entries": ({"s3d": data} if data else {})}
+    data["entries"][args.backbone] = result
+    with open(path, "w") as f:
+        json.dump(data, f, indent=2)
     print(json.dumps(result))
     if not args.keep:
         shutil.rmtree(work, ignore_errors=True)
