@@ -62,11 +62,50 @@ class MorphFC_T(nn.Module):
         return self.proj(t)
 
 
+def _fold_enabled() -> bool:
+    # rides the FLOPs-twin gate like the s2d stems: the folded form adds
+    # zero-block FLOPs that bench.py's counting twin must not see
+    import os
+
+    # default OFF: measured 58.4 vs 68.0 clips/s control (r4 A/B) — the
+    # x-seg zero-block FLOPs cost more than the lane-padded copies they
+    # replace at these shapes; kept opt-in as the third recorded lowering
+    # attempt (docs/ROOFLINE_MORPHMLP.md)
+    return (os.environ.get("MSPI_MORPH_FOLD") == "1"
+            and not os.environ.get("MSPI_DISABLE_PALLAS"))
+
+
 def _chunk_mix(x: jnp.ndarray, mlp, seg: int) -> jnp.ndarray:
     """Shared W-style chunk mixing: [B,T,H,W,C] with chunks of seg spatial
-    positions mixed jointly with the channel segments."""
+    positions mixed jointly with the channel segments.
+
+    TPU lowering (r4): the reference form needs two 6-D transposes whose
+    (seg, seg, S) minor dims are far below the 128-lane tile (S=8 at stage
+    1 -> 16x lane-padded copies; the r4 profile put 47% of the morphmlps
+    step in copies/reshapes).  Since the mix is linear, it is instead ONE
+    block-diagonal dense matmul over the contiguous (p, C) trailing dims:
+    Wbig[(p',q,s),(p,q',s')] = K[(p',s),(p,s')] * delta_qq' — exact (zero
+    blocks contribute nothing), no transposes at all, x flattens to
+    [..., seg*C] as a pure view.  Costs seg-times the FLOPs in clean MXU
+    work; gated to seg*C <= 6272 (stages 1-2) so the folded weights stay
+    small (stage 3's would be 241 MB).  MSPI_MORPH_FOLD=0 reverts."""
+    import os
+
     B, T, H, W, C = x.shape
     S = C // seg
+    if (_fold_enabled() and not mlp.is_initializing() and seg * C <=
+            int(os.environ.get("MSPI_MORPH_FOLD_MAXDIM", "6272"))):
+        p = mlp.variables["params"]
+        K, b = p["kernel"], p["bias"]
+        dt = getattr(mlp, "dtype", None) or x.dtype
+        K4 = K.reshape(seg, S, seg, S)  # [p', s, p, s']
+        eye = jnp.eye(seg, dtype=K.dtype)
+        Wbig = jnp.einsum("asbt,uv->ausbvt", K4, eye).reshape(seg * C, seg * C)
+        bias_big = jnp.broadcast_to(
+            b.reshape(seg, 1, S), (seg, seg, S)).reshape(seg * C)
+        x6 = x.reshape(B, T, (H * W) // seg, seg * C).astype(dt)
+        y = jnp.dot(x6, Wbig.astype(dt)) + bias_big.astype(dt)
+        return y.reshape(B, T, H, W, C)
     y = x.reshape(B, T, H * W // seg, seg, seg, S).transpose(0, 1, 2, 4, 3, 5)
     y = y.reshape(B, T, H * W // seg, seg, seg * S)
     y = mlp(y)

@@ -50,3 +50,28 @@ def test_morphmlp_parity_and_shapes(ref_morph, rng):
     for ours, ref in zip(feats, ref_feats):
         np.testing.assert_allclose(
             to_ncthw(np.array(ours)), ref.numpy(), atol=5e-4, rtol=1e-3)
+
+
+def test_chunk_mix_folded_matches_plain(rng, monkeypatch):
+    """r4 block-diagonal folded chunk mix == the reference
+    reshape-transpose-matmul form (exact: zero blocks contribute nothing)."""
+    from mspi_tpu.models.morphmlp import MorphFC_S
+
+    m = MorphFC_S(dim=32, segment_dim=4)
+    x = jnp.asarray(rng.standard_normal((1, 2, 8, 8, 32)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    ref = m.apply(v, x)
+    monkeypatch.setenv("MSPI_MORPH_FOLD", "1")
+    out = m.apply(v, x)
+    monkeypatch.delenv("MSPI_MORPH_FOLD")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    # grads flow through the folded construction identically
+    g_ref, g_out = [], []
+    g_ref = jax.grad(lambda v_: jnp.sum(m.apply(v_, x) ** 2))(v)
+    monkeypatch.setenv("MSPI_MORPH_FOLD", "1")
+    g_out = jax.grad(lambda v_: jnp.sum(m.apply(v_, x) ** 2))(v)
+    for a, b in zip(jax.tree.leaves(g_out), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
