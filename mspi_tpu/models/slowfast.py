@@ -91,6 +91,69 @@ def _folded_conv(x, w5, t_in, stride_hw=1, pad_hw=0, t_stride=1):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+def _folded_fast_stem(stem, clips, dt):
+    """The fast ResNetBasicStem ((5,7,7)/s(1,2,2) conv + BN + ReLU +
+    1x3x3/s(1,2,2) maxpool) computed entirely in the T-folded layout.
+
+    The 5-D stem's C=8 output at 112x192 was the single biggest op left
+    after phase-1 folding (r4 profile: its conv+BN+ReLU fusion alone was
+    ~7.7 ms/iter, 16x lane-padded).  Folding T through the stem makes the
+    conv a 2-D [7,7, T*3(+T), T*8] banded dense conv — the T fold gives a
+    64-deep contraction for free (no s2d needed), the temporal taps are
+    banded with zero rows at the clip borders (exact zero-padding), and
+    for uint8 input the ImageNet affine folds in with one ones-channel
+    PER FRAME (each frame's offset must vanish exactly where that frame
+    is out of range — mirroring ops/layers._fold_uint8_affine).
+    Output [B, 56, 96, T*8] feeds the folded pipeline directly."""
+    w5 = stem.conv.variables["params"]["kernel"]  # [5,7,7,3,8]
+    kt, kh, kw, ci, co = w5.shape
+    b, t_in, hh, ww, _ = clips.shape
+    # fold the clip: [B,T,H,W,3] -> [B,H,W,T*3]
+    xf = clips.transpose(0, 2, 3, 1, 4).reshape(b, hh, ww, t_in * ci)
+    wf = w5.astype(jnp.float32)
+    if clips.dtype == jnp.uint8:
+        from mspi_tpu.data.video import IMAGENET_MEAN, IMAGENET_STD
+
+        s = jnp.asarray(1.0 / (255.0 * IMAGENET_STD), jnp.float32)
+        o = jnp.asarray(-IMAGENET_MEAN / IMAGENET_STD, jnp.float32)
+        w_rgb = wf * s[:, None]                       # [kt,kh,kw,3,8]
+        w_one = jnp.sum(wf * o[:, None], axis=-2)     # [kt,kh,kw,8]
+        xf = xf.astype(dt)
+        ones = jnp.ones((b, hh, ww, t_in), dt)
+        xf = jnp.concatenate([xf, ones], axis=-1)     # [B,H,W,T*3+T]
+    else:
+        w_rgb, w_one = wf, None
+        xf = xf.astype(dt)
+    # banded temporal fold: out (t, c) draws frame t' = t + dt - kt//2
+    pad = kt // 2
+    sel = np.zeros((t_in, kt, t_in), np.float32)
+    for to in range(t_in):
+        for k in range(kt):
+            ti = to + k - pad
+            if 0 <= ti < t_in:
+                sel[ti, k, to] = 1.0
+    selj = jnp.asarray(sel, jnp.float32)
+    w_main = jnp.einsum("tku,khwio->hwtiuo", selj, w_rgb).reshape(
+        kh, kw, t_in * ci, t_in * co)
+    if w_one is not None:
+        w_ones = jnp.einsum("tku,khwo->hwtuo", selj, w_one).reshape(
+            kh, kw, t_in, t_in * co)
+        w_full = jnp.concatenate([w_main, w_ones], axis=2)
+    else:
+        w_full = w_main
+    y = jax.lax.conv_general_dilated(
+        xf, w_full.astype(dt), window_strides=(2, 2),
+        padding=[(kh // 2, kh // 2), (kw // 2, kw // 2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = _folded_bn(stem.bn, y, t_in, relu=True)
+    # 1x3x3/s(1,2,2) maxpool: spatial-only -> folded 2-D window (-inf pads,
+    # matching ops.layers.max_pool)
+    y = jax.lax.reduce_window(
+        y, jnp.array(-jnp.inf, y.dtype), jax.lax.max,
+        (1, 3, 3, 1), (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)])
+    return y
+
+
 def _folded_bn(bn: nn.BatchNorm, x, t: int, relu: bool):
     """Inference BN as a T-tiled per-channel affine from running stats."""
     p = bn.variables["params"]
@@ -230,9 +293,15 @@ class SlowFastFeatures(nn.Module):
             list(st.nonlocal_inds[p]) if st.nonlocal_inds else []
             for st in (self.s2, self.s3, self.s4, self.s5) for p in (0, 1)), \
             "folded fast pathway does not support non-local blocks"
-        x_s, x_f5 = self.s1(x, train=False)
-        b, t, hh, ww, c = x_f5.shape
-        x_ff = x_f5.transpose(0, 2, 3, 1, 4).reshape(b, hh, ww, t * c)
+        if os.environ.get("MSPI_SF_FOLD_STEM", "1") != "0":
+            # phase 2: fast stem computed in the folded layout end to end
+            x_s = self.s1.pathway0_stem(x[0], train=False)
+            x_ff = _folded_fast_stem(self.s1.pathway1_stem, x[1], x_s.dtype)
+            t = x[1].shape[1]
+        else:
+            x_s, x_f5 = self.s1(x, train=False)
+            b, t, hh, ww, c = x_f5.shape
+            x_ff = x_f5.transpose(0, 2, 3, 1, 4).reshape(b, hh, ww, t * c)
         x_s = self._folded_fuse(self.s1_fuse, x_s, x_ff, t)
         x_s, x_ff = self._stage_split(self.s2, x_s, x_ff, t)
         x_s = self._folded_fuse(self.s2_fuse, x_s, x_ff, t)

@@ -141,3 +141,24 @@ def test_slowfast_folded_fast_pathway_matches_plain(rng, monkeypatch):
         assert a.shape == b.shape
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=2e-4)
+
+
+def test_slowfast_folded_stem_uint8_matches_plain(rng, monkeypatch):
+    """Phase-2 folded FAST STEM (banded 2-D conv + per-frame ones-channel
+    uint8 affine + folded BN/maxpool) == the plain 5-D stem path, for both
+    uint8 and float input."""
+    H, W = 64, 96
+    model = SlowFastFeatures(cfg=SlowFastConfig())
+    xf = jnp.asarray(rng.standard_normal((1, 16, H, W, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), xf)
+    xu = jnp.asarray(rng.integers(0, 256, (1, 16, H, W, 3)).astype(np.uint8))
+
+    for x in (xf, xu):
+        monkeypatch.setenv("MSPI_SF_FOLDT", "0")
+        ref = model.apply(variables, x)
+        monkeypatch.setenv("MSPI_SF_FOLDT", "1")
+        monkeypatch.setenv("MSPI_SF_FOLD_STEM", "1")
+        out = model.apply(variables, x)
+        for a, b in zip(out, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3e-4, rtol=3e-4)
