@@ -170,6 +170,11 @@ def main():
             variables = {c: merge_converted(variables[c], conv.get(c, {}), strict=False)
                          for c in variables}
 
+    # Commit the loaded params to device ONCE: as a jit argument a host
+    # numpy pytree would re-transfer every call (per sliding window, over
+    # the remote axon tunnel) — advisor r4.
+    variables = jax.device_put(variables)
+
     # variables is a jit ARGUMENT, not a closure: closed-over params embed
     # as HLO constants, which bloats the serialized program past the remote
     # compile service's body limit on the big backbones (mvitv2s hit HTTP

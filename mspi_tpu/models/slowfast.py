@@ -293,6 +293,10 @@ class SlowFastFeatures(nn.Module):
             list(st.nonlocal_inds[p]) if st.nonlocal_inds else []
             for st in (self.s2, self.s3, self.s4, self.s5) for p in (0, 1)), \
             "folded fast pathway does not support non-local blocks"
+        # _folded_conv lowers everything with feature_group_count=1 — a
+        # grouped bottleneck would be silently wrong folded (advisor r4)
+        assert self.cfg.num_groups == 1, \
+            "folded fast pathway supports num_groups == 1 only"
         if os.environ.get("MSPI_SF_FOLD_STEM", "1") != "0":
             # phase 2: fast stem computed in the folded layout end to end
             x_s = self.s1.pathway0_stem(x[0], train=False)

@@ -281,6 +281,12 @@ class TapGradConv3d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # the tap-dW only handles dense and FULL depthwise; 1 < groups < Cin
+        # would silently compute a wrong dW (advisor r4) — fail loudly
+        assert self.groups == 1 or (self.groups == self.in_features
+                                    and self.features == self.in_features), (
+            f"TapGradConv3d supports groups==1 or full depthwise, got "
+            f"groups={self.groups} Cin={self.in_features} Co={self.features}")
         k = self.kernel_size
         fan_in = (self.in_features // self.groups) * math.prod(k)
         kernel = self.param("kernel", self.kernel_init or torch_kernel_init,

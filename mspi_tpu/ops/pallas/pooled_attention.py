@@ -415,7 +415,14 @@ def fused_attention(
     # (capped at 256: the forward grid runs multiples of the bwd tile, and
     # a 512 bwd tile would push the forward's fp32 score block past ITS
     # unraised VMEM budget)
-    if TQ < 256 and not os.environ.get("MSPI_ATTN_TILE"):
+    # Only bump when the 128 tile was actually VMEM-capped (big Nk) AND the
+    # rows exist: when _tile returned <256 because Nq is small or merely not
+    # 256-divisible, padding Nq up to 256 does up to 2x score work on zero
+    # rows (advisor r4).
+    budget = int(os.environ.get("MSPI_ATTN_VMEM_BUDGET", 8 * 1024 * 1024))
+    vmem_capped = 256 * Nk * _BWD_SCORE_BYTES > budget
+    if (TQ < 256 and Nq >= 256 and vmem_capped
+            and not os.environ.get("MSPI_ATTN_TILE")):
         ext = int(os.environ.get("MSPI_ATTN_BWD_VMEM_EXT", _EXT_DEFAULT))
         if _bwd_vmem_bytes(256, Nk, q.shape[3], v.shape[3]) <= ext:
             TQ = 256
