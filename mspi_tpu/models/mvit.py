@@ -53,25 +53,25 @@ def get_rel_pos(rel_pos: jnp.ndarray, d: int) -> jnp.ndarray:
     return resize_to(rel_pos, [d], [0])
 
 
+def _axis_table(rel_pos, q_n, k_n, dtype):
+    """Gather + interpolate one decomposed rel-pos table to the runtime
+    geometry: [q_n, k_n, dim] in the activation dtype (casting the SMALL
+    table before the einsum keeps the big projection bf16 — r5)."""
+    d = int(2 * max(q_n, k_n) - 1)
+    q_ratio = max(k_n / q_n, 1.0)
+    k_ratio = max(q_n / k_n, 1.0)
+    dist = (np.arange(q_n)[:, None] * q_ratio
+            - np.arange(k_n)[None, :] * k_ratio + (k_n - 1) * k_ratio)
+    return get_rel_pos(rel_pos, d)[dist.astype(np.int64)].astype(dtype)
+
+
 def rel_proj_spatial(q, q_shape, k_shape, rel_pos_h, rel_pos_w):
     """Per-query spatial rel-pos projections (the q . R einsums of
     MViT.py:905-955): [B,H,Nq,k_h] and [B,H,Nq,k_w]."""
     q_t, q_h, q_w = q_shape
     k_t, k_h, k_w = k_shape
-    dh = int(2 * max(q_h, k_h) - 1)
-    dw = int(2 * max(q_w, k_w) - 1)
-
-    q_h_ratio = max(k_h / q_h, 1.0)
-    k_h_ratio = max(q_h / k_h, 1.0)
-    dist_h = (np.arange(q_h)[:, None] * q_h_ratio
-              - np.arange(k_h)[None, :] * k_h_ratio + (k_h - 1) * k_h_ratio)
-    q_w_ratio = max(k_w / q_w, 1.0)
-    k_w_ratio = max(q_w / k_w, 1.0)
-    dist_w = (np.arange(q_w)[:, None] * q_w_ratio
-              - np.arange(k_w)[None, :] * k_w_ratio + (k_w - 1) * k_w_ratio)
-
-    Rh = get_rel_pos(rel_pos_h, dh)[dist_h.astype(np.int64)]
-    Rw = get_rel_pos(rel_pos_w, dw)[dist_w.astype(np.int64)]
+    Rh = _axis_table(rel_pos_h, q_h, k_h, q.dtype)
+    Rw = _axis_table(rel_pos_w, q_w, k_w, q.dtype)
 
     B, n_head, _, dim = q.shape
     q_n = q_t * q_h * q_w
@@ -108,20 +108,33 @@ def rel_proj_temporal(q, q_shape, k_shape, rel_pos_t):
     """Per-query temporal rel-pos projection: [B,H,Nq,k_t]."""
     q_t, q_h, q_w = q_shape
     k_t, k_h, k_w = k_shape
-    dt = int(2 * max(q_t, k_t) - 1)
-    rel = get_rel_pos(rel_pos_t, dt)
-
-    q_t_ratio = max(k_t / q_t, 1.0)
-    k_t_ratio = max(q_t / k_t, 1.0)
-    dist_t = (np.arange(q_t)[:, None] * q_t_ratio
-              - np.arange(k_t)[None, :] * k_t_ratio + (k_t - 1) * k_t_ratio)
-    Rt = rel[dist_t.astype(np.int64)]  # [q_t, k_t, dim]
+    Rt = _axis_table(rel_pos_t, q_t, k_t, q.dtype)  # [q_t, k_t, dim]
 
     B, n_head, _, dim = q.shape
     q_n = q_t * q_h * q_w
     r_q = q.reshape(B, n_head, q_t, q_h, q_w, dim)
     rel_b = jnp.einsum("bythwc,tkc->bythwk", r_q, Rt)  # [B,H,qt,qh,qw,k_t]
     return rel_b.reshape(B, n_head, q_n, k_t)
+
+
+def rel_proj_packed(q4, q_shape, k_shape, rel_pos_t, rel_pos_h, rel_pos_w):
+    """Packed-layout rel projections: q4 is the normed pooled query as
+    [B, Nq, H, D]; returns [B, Nq, H*R] with R = k_t + k_h + k_w lanes per
+    head (concat order t|h|w, matching _onehot_rows stacking)."""
+    B, Nq, H, D = q4.shape
+    q_t, q_h, q_w = q_shape
+    r6 = q4.reshape(B, q_t, q_h, q_w, H, D)
+    outs = []
+    if rel_pos_t is not None:
+        Rt = _axis_table(rel_pos_t, q_t, k_shape[0], q4.dtype)
+        outs.append(jnp.einsum("btyxhd,tkd->btyxhk", r6, Rt))
+    if rel_pos_h is not None:
+        Rh = _axis_table(rel_pos_h, q_h, k_shape[1], q4.dtype)
+        Rw = _axis_table(rel_pos_w, q_w, k_shape[2], q4.dtype)
+        outs.append(jnp.einsum("btyxhd,ykd->btyxhk", r6, Rh))
+        outs.append(jnp.einsum("btyxhd,xkd->btyxhk", r6, Rw))
+    rel = jnp.concatenate(outs, axis=-1)  # [B,qt,qh,qw,H,R]
+    return rel.reshape(B, Nq, -1)
 
 
 def cal_rel_pos_temporal(attn, q, q_shape, k_shape, rel_pos_t):
@@ -293,7 +306,7 @@ class HeadPool(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, thw: Tuple[int, int, int],
-                 packed: bool = False):
+                 packed: bool = False, packed_out: bool = False):
         T, Hh, Ww = thw
         w = self.param("kernel", torch_kernel_init,
                        (*self.kernel, 1, self.head_dim))
@@ -301,14 +314,41 @@ class HeadPool(nn.Module):
 
         x, w = promote_dtype(x, w, dtype=default_compute_dtype())
         if packed:
-            B, N, HD = x.shape
-            x5 = x.reshape(B, T, Hh, Ww, HD)
-            out = _packed_pool(
-                x5, w, tuple(self.stride),
-                tuple((k // 2, k // 2) for k in self.kernel), self.head_dim)
+            if x.ndim == 5:
+                # already [B,T,H,W,HD] straight from the 5-D qkv dense — no
+                # token->grid relayout copy (r5: the three [B,N,HD] reshape
+                # copies at the stage-transition blocks were ~3.2 ms/iter)
+                x5 = x
+            else:
+                B, N, HD = x.shape
+                x5 = x.reshape(B, T, Hh, Ww, HD)
             oshape = tuple((s + 2 * (k // 2) - k) // st + 1
                            for s, k, st in zip((T, Hh, Ww), self.kernel,
                                                self.stride))
+            if os.environ.get("MSPI_POOL_FAT", "0") == "1":
+                # r5: ONE full-depthwise conv on all H*D packed lanes — the
+                # shared per-head filter (MViT.py:1090-1135) tiled across
+                # heads at trace time.  Replaces H lane-sliced per-head convs
+                # (each slice a relayout; mvit.py:202 was ~6% of the step)
+                # with a single fast-path depthwise conv; the r3 "fat
+                # grouped conv" null predates the 5-D C-minor qkv layout.
+                heads = x5.shape[-1] // self.head_dim
+                wf = jnp.tile(w, (1, 1, 1, 1, heads))
+                y = jax.lax.conv_general_dilated(
+                    x5, wf, window_strides=tuple(self.stride),
+                    padding=[(k // 2, k // 2) for k in self.kernel],
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                    feature_group_count=x5.shape[-1])
+                bsz = y.shape[0]
+                if packed_out:
+                    # stay token-major [B, N', H*D] for the packed kernel
+                    return y.reshape(bsz, -1, y.shape[-1]), oshape
+                out = (y.reshape(bsz, -1, heads, self.head_dim)
+                       .transpose(0, 2, 1, 3))
+                return out, oshape
+            out = _packed_pool(
+                x5, w, tuple(self.stride),
+                tuple((k // 2, k // 2) for k in self.kernel), self.head_dim)
             return out, oshape
         B, H, N, D = x.shape
         kt, kh, kw = self.kernel
@@ -428,10 +468,21 @@ class MultiScaleAttention(nn.Module):
         B, N, _ = x.shape
         H = self.num_heads
         head = self.dim_out // H
+        packed_env_early = os.environ.get("MSPI_POOL_PACKED", "1") == "1"
+        packed_early = H > 1 and packed_env_early and (
+            not train
+            or os.environ.get("MSPI_POOL_PACKED_TRAIN", "0") == "1")
         # q/k/v come out of the sliced matmul packed [B, N, H*head] — no
         # [3,B,H,N,D] transpose+slice copies (profiled ~9 ms/iter on the
-        # stage-1 blocks); each stream pays one head split (free for H == 1)
-        q, k, v = self.qkv(x)
+        # stage-1 blocks); each stream pays one head split (free for H == 1).
+        # On the packed-pool path the dense consumes a 5-D [B,T,H,W,C] view
+        # so its outputs are born grid-shaped C-minor and the pools take
+        # them without a token->grid relayout (r5, ~3.2 ms/iter).
+        if (packed_early and (self.has_pool_q or self.has_pool_kv)
+                and os.environ.get("MSPI_QKV5D", "1") == "1"):
+            q, k, v = self.qkv(x.reshape(B, *thw, x.shape[-1]))
+        else:
+            q, k, v = self.qkv(x)
 
         def heads(y):
             return y.reshape(B, -1, H, head).transpose(0, 2, 1, 3)
@@ -447,10 +498,57 @@ class MultiScaleAttention(nn.Module):
         # 29.04 per-head control — the cost is the H per-head transposed
         # convs on lane-sliced streams, not the dx assembly.  Opt-in via
         # MSPI_POOL_PACKED_TRAIN=1 (grad-parity-tested).
-        packed_env = os.environ.get("MSPI_POOL_PACKED", "1") == "1"
-        packed_pool = H > 1 and packed_env and (
-            not train
-            or os.environ.get("MSPI_POOL_PACKED_TRAIN", "0") == "1")
+        packed_pool = packed_early
+
+        from mspi_tpu.ops.pallas import pallas_enabled, pallas_interpret
+
+        # statically-known pooled kv token count (pool: k//2 pad, stride st)
+        nk_static = 1
+        for s, kk, st in zip(thw, self.kernel_kv, self.stride_kv):
+            nk_static *= (s + 2 * (kk // 2) - kk) // st + 1
+        fully_packed = (
+            packed_pool
+            and self.has_pool_q and self.has_pool_kv
+            and (self.rel_pos_temporal or self.rel_pos_spatial)
+            and pallas_enabled() and nk_static <= 4096
+            and os.environ.get("MSPI_POOL_FAT", "0") == "1"
+            and os.environ.get("MSPI_ATTN_RELK", "1") == "1"
+            and os.environ.get("MSPI_ATTN_PACKED", "0") == "1")
+        if fully_packed:
+            # r5 packed block: fat depthwise pools emit token-major
+            # [B,N',H*D]; norms run on the free [B,N',H,D] lane view; the
+            # rel projections and the attention kernel (incl. the
+            # residual_pooling add) stay packed; proj consumes the kernel
+            # output directly.  No head-major transpose exists anywhere.
+            from mspi_tpu.ops.pallas.pooled_attention import \
+                fused_attention_rel_packed
+
+            qp, q_shape = self.pool_q(q, thw, packed=True, packed_out=True)
+            q4 = self.norm_q(qp.reshape(B, -1, H, head))
+            kp, k_shape = self.pool_k(k, thw, packed=True, packed_out=True)
+            kp = self.norm_k(kp.reshape(B, -1, H, head)).reshape(
+                B, -1, self.dim_out)
+            vp, _ = self.pool_v(v, thw, packed=True, packed_out=True)
+            vp = self.norm_v(vp.reshape(B, -1, H, head)).reshape(
+                B, -1, self.dim_out)
+            rel = rel_proj_packed(
+                q4, q_shape, k_shape,
+                self.rel_pos_t if self.rel_pos_temporal else None,
+                self.rel_pos_h if self.rel_pos_spatial else None,
+                self.rel_pos_w if self.rel_pos_spatial else None)
+            rows = []
+            if self.rel_pos_temporal:
+                rows.append(_onehot_rows("t", k_shape))
+            if self.rel_pos_spatial:
+                rows += [_onehot_rows("h", k_shape),
+                         _onehot_rows("w", k_shape)]
+            E = jnp.asarray(np.concatenate(rows, axis=0).T, kp.dtype)
+            out = fused_attention_rel_packed(
+                q4.reshape(B, -1, self.dim_out), kp, vp, rel, E,
+                heads=H, scale=head ** -0.5,
+                residual=self.residual_pooling,
+                interpret=pallas_interpret())
+            return self.proj(out), q_shape
 
         if self.has_pool_q:
             q, q_shape = self.pool_q(q if packed_pool else heads(q), thw,
@@ -480,16 +578,40 @@ class MultiScaleAttention(nn.Module):
         # round-trips HBM — the jnp fallback on the three transition blocks
         # was ~19% of the flagship step (profiled r2).
         if pallas_enabled() and k.shape[2] <= 4096:
-            from mspi_tpu.ops.pallas.pooled_attention import fused_attention
-
-            q_aug, k_aug = augment_for_fused_attn(
-                q, k, q_shape, k_shape, head ** -0.5,
-                rel_pos_t=self.rel_pos_t if self.rel_pos_temporal else None,
-                rel_pos_h=self.rel_pos_h if self.rel_pos_spatial else None,
-                rel_pos_w=self.rel_pos_w if self.rel_pos_spatial else None)
             from mspi_tpu.ops.pallas import pallas_interpret
-            out = fused_attention(q_aug, k_aug, v,
-                                  interpret=pallas_interpret())
+            from mspi_tpu.ops.pallas.pooled_attention import (
+                fused_attention, fused_attention_rel)
+
+            has_rel = self.rel_pos_temporal or self.rel_pos_spatial
+            if has_rel and os.environ.get("MSPI_ATTN_RELK", "1") == "1":
+                # r5: only the NARROW per-query rel projections ([B,H,Nq,R],
+                # R = k_t+k_h+k_w) are materialized; the 0/1 key-axis
+                # expansion and the q scale move into the kernel, killing
+                # the q_aug/k_aug copies (~8 ms/iter of the flagship step).
+                cols, rows = [], []
+                if self.rel_pos_temporal:
+                    cols.append(rel_proj_temporal(q, q_shape, k_shape,
+                                                  self.rel_pos_t)
+                                .astype(q.dtype))
+                    rows.append(_onehot_rows("t", k_shape))
+                if self.rel_pos_spatial:
+                    rh, rw = rel_proj_spatial(q, q_shape, k_shape,
+                                              self.rel_pos_h, self.rel_pos_w)
+                    cols += [rh.astype(q.dtype), rw.astype(q.dtype)]
+                    rows += [_onehot_rows("h", k_shape),
+                             _onehot_rows("w", k_shape)]
+                rel = jnp.concatenate(cols, axis=-1)
+                E = jnp.asarray(np.concatenate(rows, axis=0).T, k.dtype)
+                out = fused_attention_rel(q, k, v, rel, E, head ** -0.5,
+                                          interpret=pallas_interpret())
+            else:
+                q_aug, k_aug = augment_for_fused_attn(
+                    q, k, q_shape, k_shape, head ** -0.5,
+                    rel_pos_t=self.rel_pos_t if self.rel_pos_temporal else None,
+                    rel_pos_h=self.rel_pos_h if self.rel_pos_spatial else None,
+                    rel_pos_w=self.rel_pos_w if self.rel_pos_spatial else None)
+                out = fused_attention(q_aug, k_aug, v,
+                                      interpret=pallas_interpret())
         else:
             attn = jnp.einsum("bhnd,bhmd->bhnm", q * (head ** -0.5), k)
             if self.rel_pos_spatial:

@@ -268,6 +268,387 @@ _attention.defvjp(_attention_fwd, _attention_bwd)
 
 
 # --------------------------------------------------------------------------
+# rel-pos-aware cross attention: scores = scale*(q k^T) + rel E^T in-kernel
+# --------------------------------------------------------------------------
+#
+# r5: the augmented-lane scheme above (q_aug = [q*scale | rel], k_aug =
+# [k | E broadcast]) materialises a full-width q_aug copy per block in HBM
+# ([B,H,Nq,123-148] bf16 — the r5 profile put the augmentation region at
+# ~8 ms/iter of the 105 ms flagship step: mvit.py:168/180/182/186 concat +
+# scale fusions).  Here the bias contraction moves INTO the kernel as a
+# second small matmul against the static 0/1 expansion E [Nk, R], so only
+# the narrow rel projections [B,H,Nq,R] (R = k_t+k_h+k_w, 27-46 lanes) ever
+# exist in HBM and q/k stream in their natural unscaled layouts.  The
+# gradient of the bias falls out as drel = dS E; E is a constant (dE = 0).
+
+
+def _aug_operands(q_ref, k_ref, r_ref, e_ref, scale):
+    """Rebuild the augmented operands IN VMEM: qa = [q*scale | rel],
+    ka = [k | E].  D + R <= 128 + R lanes, so the score contraction stays
+    the same single MXU matmul as the materialized-q_aug scheme — but the
+    wide operands never exist in HBM (only the narrow [.., R] rel does)."""
+    q = q_ref[0, 0]  # [TQ, D]
+    k = k_ref[0, 0]  # [Nk, D]
+    qa = jnp.concatenate([q * q.dtype.type(scale), r_ref[0, 0]], axis=-1)
+    ka = jnp.concatenate([k, e_ref[:].astype(k.dtype)], axis=-1)
+    return qa, ka
+
+
+def _probs_rel(q_ref, k_ref, r_ref, e_ref, scale):
+    qa, ka = _aug_operands(q_ref, k_ref, r_ref, e_ref, scale)
+    scores = jax.lax.dot_general(
+        qa, ka, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [TQ, Nk] fp32
+    return _softmax(scores)
+
+
+def _fwd_kernel_rel(q_ref, k_ref, v_ref, r_ref, e_ref, out_ref, *, scale):
+    probs = _probs_rel(q_ref, k_ref, r_ref, e_ref, scale)
+    v = v_ref[0, 0]
+    out = jnp.dot(probs.astype(v.dtype), v,
+                  preferred_element_type=jnp.float32)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+def _bwd_kernel_rel(q_ref, k_ref, v_ref, r_ref, e_ref, do_ref,
+                    dq_ref, dk_ref, dv_ref, dr_ref, *, scale):
+    t = pl.program_id(2)
+    D = q_ref.shape[-1]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+
+    qa, ka = _aug_operands(q_ref, k_ref, r_ref, e_ref, scale)
+    scores = jax.lax.dot_general(
+        qa, ka, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    probs = _softmax(scores)
+    p = probs.astype(v.dtype)
+
+    dv = jax.lax.dot_general(  # P^T dO
+        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(  # dO V^T
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+    ds_c = ds.astype(v.dtype)
+    # single augmented-width matmuls, split on the lane axis afterwards:
+    # d(qa) = dS ka -> [dq*1/scale-part | dr];  d(ka) = dS^T qa -> dk lanes
+    dqa = jnp.dot(ds_c, ka, preferred_element_type=jnp.float32)
+    dka = jax.lax.dot_general(  # dS^T QA
+        ds_c, qa, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # qa's first D lanes are q*scale: dq chains through the scale; dka's
+    # first D lanes contracted against ds ALREADY carry it (ka's k lanes
+    # are unscaled, dk = dS^T (q*scale) = dka[:, :D] as-is)
+    dq_ref[0, 0] = (dqa[:, :D] * jnp.float32(scale)).astype(dq_ref.dtype)
+    dr_ref[0, 0] = dqa[:, D:].astype(dr_ref.dtype)
+    dk = dka[:, :D]
+
+    @pl.when(t == 0)
+    def _init():
+        dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+    @pl.when(t != 0)
+    def _acc():
+        dk_ref[0, 0] = (dk_ref[0, 0].astype(jnp.float32) + dk).astype(dk_ref.dtype)
+        dv_ref[0, 0] = (dv_ref[0, 0].astype(jnp.float32) + dv).astype(dv_ref.dtype)
+
+
+def _fwd_impl_rel(q, k, v, rel, e, tq, interpret, scale):
+    B, H, Nq, Da = q.shape
+    Nk, Dv = k.shape[2], v.shape[3]
+    R = rel.shape[3]
+    TQ = _fwd_tile(Nq, Nk, tq)
+    assert Nq % TQ == 0, (Nq, TQ)
+    grid = (B, H, Nq // TQ)
+    tile_spec = lambda d: pl.BlockSpec((1, 1, TQ, d), lambda b, h, t: (b, h, t, 0),
+                                       memory_space=pltpu.VMEM)
+    kv_spec = lambda d: pl.BlockSpec((1, 1, Nk, d), lambda b, h, t: (b, h, 0, 0),
+                                     memory_space=pltpu.VMEM)
+    e_spec = pl.BlockSpec((Nk, R), lambda b, h, t: (0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_rel, scale=scale),
+        grid=grid,
+        in_specs=[tile_spec(Da), kv_spec(Da), kv_spec(Dv), tile_spec(R), e_spec],
+        out_specs=tile_spec(Dv),
+        out_shape=jax.ShapeDtypeStruct((B, H, Nq, Dv), q.dtype),
+        interpret=interpret,
+    )(q, k, v, rel, e)
+
+
+def _bwd_impl_rel(q, k, v, rel, e, do, tq, interpret, scale, vmem_limit=None):
+    B, H, Nq, Da = q.shape
+    Nk, Dv = k.shape[2], v.shape[3]
+    R = rel.shape[3]
+    TQ = tq
+    assert Nq % TQ == 0, (Nq, TQ)
+    grid = (B, H, Nq // TQ)
+    tile_spec = lambda d: pl.BlockSpec((1, 1, TQ, d), lambda b, h, t: (b, h, t, 0),
+                                       memory_space=pltpu.VMEM)
+    kv_spec = lambda d: pl.BlockSpec((1, 1, Nk, d), lambda b, h, t: (b, h, 0, 0),
+                                     memory_space=pltpu.VMEM)
+    e_spec = pl.BlockSpec((Nk, R), lambda b, h, t: (0, 0),
+                          memory_space=pltpu.VMEM)
+    params = (pltpu.CompilerParams(vmem_limit_bytes=int(vmem_limit))
+              if vmem_limit else None)
+    dq, dk, dv, dr = pl.pallas_call(
+        functools.partial(_bwd_kernel_rel, scale=scale),
+        grid=grid,
+        in_specs=[tile_spec(Da), kv_spec(Da), kv_spec(Dv), tile_spec(R),
+                  e_spec, tile_spec(Dv)],
+        out_specs=[tile_spec(Da), kv_spec(Da), kv_spec(Dv), tile_spec(R)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Nq, Da), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Nk, Da), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Nk, Dv), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Nq, R), q.dtype),
+        ],
+        interpret=interpret,
+        compiler_params=params,
+    )(q, k, v, rel, e, do)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype), dr
+
+
+def _jnp_reference_rel(q, k, v, rel, e, scale):
+    """Kernel math in plain jnp — gradient fallback for shapes whose Pallas
+    backward cannot fit VMEM."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * jnp.float32(scale)
+    s = s + jnp.einsum("bhqr,kr->bhqk", rel, e,
+                       preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _attention_rel(q, k, v, rel, e, tq, interpret, scale):
+    return _fwd_impl_rel(q, k, v, rel, e, tq, interpret, scale)
+
+
+def _attention_rel_fwd(q, k, v, rel, e, tq, interpret, scale):
+    return (_fwd_impl_rel(q, k, v, rel, e, tq, interpret, scale),
+            (q, k, v, rel, e))
+
+
+def _attention_rel_bwd(tq, interpret, scale, res, do):
+    q, k, v, rel, e = res
+    dq, dk, dv, dr = _rel_bwd_dispatch(q, k, v, rel, e, do, tq, interpret,
+                                       scale)
+    return dq, dk, dv, dr, jnp.zeros_like(e)
+
+
+_attention_rel.defvjp(_attention_rel_fwd, _attention_rel_bwd)
+
+
+def _rel_bwd_dispatch(q, k, v, rel, e, do, tq, interpret, scale):
+    """Head-major rel backward with the VMEM gate + extended-limit retry +
+    jnp fallback (shared by the head-major and packed custom_vjps)."""
+    da_eff = q.shape[3] + rel.shape[3]
+    need = _bwd_vmem_bytes(tq, k.shape[2], da_eff, v.shape[3])
+    limit = int(os.environ.get("MSPI_ATTN_BWD_VMEM_LIMIT", 14 * 1024 * 1024))
+    ext = int(os.environ.get("MSPI_ATTN_BWD_VMEM_EXT", _EXT_DEFAULT))
+    if need > limit:
+        if ext and need <= ext:
+            return _bwd_impl_rel(q, k, v, rel, e, do, tq, interpret,
+                                 scale, vmem_limit=need + (1 << 20))
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_, r_: _jnp_reference_rel(q_, k_, v_, r_, e,
+                                                      scale), q, k, v, rel)
+        return vjp(do)
+    return _bwd_impl_rel(q, k, v, rel, e, do, tq, interpret, scale)
+
+
+# ---- packed-lane variant: q/k/v/rel stay [B, N, H*width] token-major ----
+
+
+def _rel_packed_kernel(q_ref, k_ref, v_ref, r_ref, e_ref, out_ref, *,
+                       heads, scale, residual):
+    """One (batch, q-tile) grid step over ALL heads (the fused_self_attention
+    scheme): operands arrive in their packed token-major lane layouts, heads
+    are static lane slices unrolled in-kernel, the augmented operands are
+    rebuilt in VMEM and the post-attention residual (+ pooled normed q,
+    MViT.py residual_pooling) is added in-kernel — no head-major transposes
+    or separate residual pass in HBM."""
+    C = q_ref.shape[-1]
+    D = C // heads
+    R = r_ref.shape[-1] // heads
+    q = q_ref[0]    # [TQ, C]
+    k = k_ref[0]    # [Nk, C]
+    v = v_ref[0]    # [Nk, C]
+    r = r_ref[0]    # [TQ, heads*R]
+    e = e_ref[:].astype(k.dtype)  # [Nk, R]
+    for h in range(heads):
+        qh = q[:, h * D:(h + 1) * D]
+        qa = jnp.concatenate([qh * q.dtype.type(scale),
+                              r[:, h * R:(h + 1) * R]], axis=-1)
+        ka = jnp.concatenate([k[:, h * D:(h + 1) * D], e], axis=-1)
+        scores = jax.lax.dot_general(
+            qa, ka, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        probs = _softmax(scores)
+        vh = v[:, h * D:(h + 1) * D]
+        out = jnp.dot(probs.astype(vh.dtype), vh,
+                      preferred_element_type=jnp.float32).astype(out_ref.dtype)
+        if residual:
+            out = out + qh
+        out_ref[0, :, h * D:(h + 1) * D] = out
+
+
+def _rel_packed_tile(nq: int, nk: int, c: int, hr: int, itemsize: int) -> int:
+    budget = _budget_bytes()
+    pad = lambda d: -(-d // 128) * 128
+    resident = nk * 2 * pad(c) * itemsize * 2 + nk * pad(hr) * itemsize * 2
+    for t in (512, 256, 128):
+        tiles = t * (2 * pad(c) + pad(hr)) * itemsize * 2  # q + out + rel, dbuf
+        scores = t * pad(nk) * 12
+        if resident + tiles + scores <= budget:
+            return t
+    return 128
+
+
+def _rel_packed_fwd_impl(q, k, v, rel, e, heads, tq, interpret, scale,
+                         residual):
+    B, Nq, C = q.shape
+    Nk = k.shape[1]
+    HR = rel.shape[2]
+    R = e.shape[1]
+    assert Nq % tq == 0, (Nq, tq)
+    return pl.pallas_call(
+        functools.partial(_rel_packed_kernel, heads=heads, scale=scale,
+                          residual=residual),
+        grid=(B, Nq // tq),
+        in_specs=[
+            pl.BlockSpec((1, tq, C), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nk, C), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nk, C), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, HR), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Nk, R), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, C), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Nq, C), q.dtype),
+        interpret=interpret,
+    )(q, k, v, rel, e)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _attention_rel_packed(q, k, v, rel, e, heads, tq, interpret, scale,
+                          residual):
+    return _rel_packed_fwd_impl(q, k, v, rel, e, heads, tq, interpret, scale,
+                                residual)
+
+
+def _attention_rel_packed_fwd(q, k, v, rel, e, heads, tq, interpret, scale,
+                              residual):
+    return (_rel_packed_fwd_impl(q, k, v, rel, e, heads, tq, interpret,
+                                 scale, residual), (q, k, v, rel, e))
+
+
+def _attention_rel_packed_bwd(heads, tq, interpret, scale, residual, res, do):
+    """Per-head layout conversion + the shared rel backward — the conversion
+    copies exist on the (opt-in) training path only; inference keeps the
+    packed layout end to end."""
+    q, k, v, rel, e = res
+    B, Nq, C = q.shape
+    Nk = k.shape[1]
+    D = C // heads
+    R = rel.shape[2] // heads
+
+    def to_heads(x, d):
+        return x.reshape(B, -1, heads, d).transpose(0, 2, 1, 3)
+
+    dqh, dkh, dvh, drh = _rel_bwd_dispatch(
+        to_heads(q, D), to_heads(k, D), to_heads(v, D), to_heads(rel, R), e,
+        to_heads(do, D), tq, interpret, scale)
+
+    def to_packed(x, d):
+        return x.transpose(0, 2, 1, 3).reshape(B, -1, heads * d)
+
+    dq = to_packed(dqh, D)
+    if residual:
+        dq = dq + do
+    return dq, to_packed(dkh, D), to_packed(dvh, D), to_packed(drh, R), \
+        jnp.zeros_like(e)
+
+
+_attention_rel_packed.defvjp(_attention_rel_packed_fwd,
+                             _attention_rel_packed_bwd)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "scale", "residual", "interpret"))
+def fused_attention_rel_packed(
+    q: jnp.ndarray,    # [B, Nq, H*D] packed token-major, UNscaled (normed)
+    k: jnp.ndarray,    # [B, Nk, H*D]
+    v: jnp.ndarray,    # [B, Nk, H*D]
+    rel: jnp.ndarray,  # [B, Nq, H*R] packed per-head rel projections
+    e: jnp.ndarray,    # [Nk, R] static 0/1 expansion (shared across heads)
+    *,
+    heads: int,
+    scale: float,
+    residual: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pooled cross attention with decomposed rel-pos bias on PACKED
+    activations: consumes q/k/v exactly as the (fat depthwise) pools emit
+    them and returns [B, Nq, H*D] exactly as the proj dense consumes it —
+    no per-head transposes anywhere.  residual=True adds q in-kernel
+    (MViT residual_pooling)."""
+    B, Nq, C = q.shape
+    TQ = _rel_packed_tile(Nq, k.shape[1], C, rel.shape[2], q.dtype.itemsize)
+    pad = -Nq % TQ
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+        rel = jnp.pad(rel, ((0, 0), (0, pad), (0, 0)))
+    out = _attention_rel_packed(q, k, v, rel, e, heads, TQ, interpret,
+                                float(scale), residual)
+    return out[:, :Nq] if pad else out
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def fused_attention_rel(
+    q: jnp.ndarray,    # [B, H, Nq, D] — UNscaled
+    k: jnp.ndarray,    # [B, H, Nk, D]
+    v: jnp.ndarray,    # [B, H, Nk, Dv]
+    rel: jnp.ndarray,  # [B, H, Nq, R] — per-query rel-pos projections
+    e: jnp.ndarray,    # [Nk, R] static 0/1 expansion (key axis decomposition)
+    scale: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """softmax(scale * q k^T + rel e^T) v with both contractions in-kernel —
+    the rel-pos bias costs one narrow extra matmul per tile and no
+    materialized augmented operands (see module comment)."""
+    B, H, Nq, D = q.shape
+    Nk = k.shape[2]
+    da_eff = D + rel.shape[3]
+    TQ = _tile(Nq, Nk, _BWD_SCORE_BYTES)
+    budget = int(os.environ.get("MSPI_ATTN_VMEM_BUDGET", 8 * 1024 * 1024))
+    vmem_capped = 256 * Nk * _BWD_SCORE_BYTES > budget
+    if (TQ < 256 and Nq >= 256 and vmem_capped
+            and not os.environ.get("MSPI_ATTN_TILE")):
+        ext = int(os.environ.get("MSPI_ATTN_BWD_VMEM_EXT", _EXT_DEFAULT))
+        if _bwd_vmem_bytes(256, Nk, da_eff, v.shape[3]) <= ext:
+            TQ = 256
+    pad = -Nq % TQ
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        rel = jnp.pad(rel, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    out = _attention_rel(q, k, v, rel, e, TQ, interpret, float(scale))
+    return out[:, :, :Nq] if pad else out
+
+
+# --------------------------------------------------------------------------
 # packed self-attention (UniFormer stage-3/4 global MHSA, SyncBlock)
 # --------------------------------------------------------------------------
 

@@ -778,3 +778,73 @@ def test_pooled_attention_bwd_extended_vmem_route(rng, monkeypatch):
         _ref_attention(q, k, v) * w), argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_f, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_fused_attention_rel_matches_augmented(rng):
+    """r5 in-kernel rel bias == the materialized q_aug/k_aug scheme,
+    forward and grads (incl. drel)."""
+    from mspi_tpu.ops.pallas.pooled_attention import fused_attention_rel
+
+    B, H, Nq, Nk, D, R = 2, 2, 200, 40, 32, 11
+    q = jnp.asarray(rng.standard_normal((B, H, Nq, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, Nk, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, Nk, D)).astype(np.float32))
+    rel = jnp.asarray(rng.standard_normal((B, H, Nq, R)).astype(np.float32))
+    E = jnp.asarray((rng.random((Nk, R)) < 0.3).astype(np.float32))
+    scale = D ** -0.5
+
+    def ref(q, k, v, rel):
+        qa = jnp.concatenate([q * scale, rel], -1)
+        ka = jnp.concatenate(
+            [k, jnp.broadcast_to(E[None, None], (B, H, Nk, R))], -1)
+        return fused_attention(qa, ka, v, interpret=True)
+
+    out = fused_attention_rel(q, k, v, rel, E, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(q, k, v, rel)),
+                               atol=2e-5)
+    g_r = jax.grad(lambda *a: jnp.sum(ref(*a) ** 2), argnums=(0, 1, 2, 3))(
+        q, k, v, rel)
+    g_n = jax.grad(lambda *a: jnp.sum(
+        fused_attention_rel(*a, E, scale, interpret=True) ** 2),
+        argnums=(0, 1, 2, 3))(q, k, v, rel)
+    for a, b in zip(g_r, g_n):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-5)
+
+
+def test_fused_attention_rel_packed_matches_headmajor(rng):
+    """r5 packed token-major kernel (in-kernel head loop + residual) == the
+    head-major rel kernel, forward and grads."""
+    from mspi_tpu.ops.pallas.pooled_attention import (
+        fused_attention_rel, fused_attention_rel_packed)
+
+    B, H, Nq, Nk, D, R = 2, 3, 150, 30, 16, 7
+    C = H * D
+    qp = jnp.asarray(rng.standard_normal((B, Nq, C)).astype(np.float32))
+    kp = jnp.asarray(rng.standard_normal((B, Nk, C)).astype(np.float32))
+    vp = jnp.asarray(rng.standard_normal((B, Nk, C)).astype(np.float32))
+    relp = jnp.asarray(rng.standard_normal((B, Nq, H * R)).astype(np.float32))
+    E = jnp.asarray((rng.random((Nk, R)) < 0.4).astype(np.float32))
+    scale = D ** -0.5
+
+    def to_heads(x, d):
+        return x.reshape(B, -1, H, d).transpose(0, 2, 1, 3)
+
+    def ref(qp, kp, vp, relp):
+        out = fused_attention_rel(to_heads(qp, D), to_heads(kp, D),
+                                  to_heads(vp, D), to_heads(relp, R), E,
+                                  scale, interpret=True)
+        out = out + to_heads(qp, D)  # residual_pooling
+        return out.transpose(0, 2, 1, 3).reshape(B, Nq, C)
+
+    out = fused_attention_rel_packed(qp, kp, vp, relp, E, heads=H,
+                                     scale=scale, residual=True,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(ref(qp, kp, vp, relp)), atol=2e-5)
+    g_r = jax.grad(lambda *a: jnp.sum(ref(*a) ** 2), argnums=(0, 1, 2, 3))(
+        qp, kp, vp, relp)
+    g_n = jax.grad(lambda *a: jnp.sum(fused_attention_rel_packed(
+        *a, E, heads=H, scale=scale, residual=True, interpret=True) ** 2),
+        argnums=(0, 1, 2, 3))(qp, kp, vp, relp)
+    for a, b in zip(g_r, g_n):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5)
