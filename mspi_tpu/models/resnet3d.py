@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mspi_tpu.ops import (adaptive_avg_pool, batchnorm, conv3d, max_pool,
+from mspi_tpu.ops import (adaptive_avg_pool, batchnorm, conv3d, max_pool, pconv3d,
                           stem_conv3d)
 
 
@@ -175,13 +175,17 @@ class BottleneckTransform(nn.Module):
 
     def setup(self):
         t = self.temp_kernel_size
-        self.a = conv3d(self.dim_in, self.dim_inner, (t, 1, 1), 1, (t // 2, 0, 0), bias=False)
+        # (t,1,1) degenerates to pointwise at t == 1: matmul lowering
+        # (PointwiseConv3d — the r3 decoder fix, ~12x on small-T 5-D convs)
+        self.a = (pconv3d(self.dim_in, self.dim_inner, bias=False) if t == 1
+                  else conv3d(self.dim_in, self.dim_inner, (t, 1, 1), 1,
+                              (t // 2, 0, 0), bias=False))
         self.a_bn = batchnorm()
         self.b = conv3d(self.dim_inner, self.dim_inner, (1, 3, 3),
                         (1, self.stride, self.stride), (0, 1, 1),
                         groups=self.num_groups, bias=False)
         self.b_bn = batchnorm()
-        self.c = conv3d(self.dim_inner, self.dim_out, 1, 1, 0, bias=False)
+        self.c = pconv3d(self.dim_inner, self.dim_out, bias=False)
         self.c_bn = batchnorm()
 
     def __call__(self, x, train: bool = False):
@@ -206,7 +210,7 @@ class X3DTransform(nn.Module):
 
     def setup(self):
         t = self.temp_kernel_size
-        self.a = conv3d(self.dim_in, self.dim_inner, 1, 1, 0, bias=False)
+        self.a = pconv3d(self.dim_in, self.dim_inner, bias=False)
         self.a_bn = batchnorm()
         self.b = conv3d(self.dim_inner, self.dim_inner, (t, 3, 3),
                         (1, self.stride, self.stride), (t // 2, 1, 1),
@@ -215,7 +219,7 @@ class X3DTransform(nn.Module):
         self.use_se = self.se_ratio > 0.0 and ((self.block_idx + 1) % 2 == 1)
         if self.use_se:
             self.se = SE(self.dim_inner, self.se_ratio)
-        self.c = conv3d(self.dim_inner, self.dim_out, 1, 1, 0, bias=False)
+        self.c = pconv3d(self.dim_inner, self.dim_out, bias=False)
         self.c_bn = batchnorm()
 
     def __call__(self, x, train: bool = False):
@@ -244,13 +248,13 @@ class CSNTransform(nn.Module):
 
     def setup(self):
         t = self.temp_kernel_size
-        self.a = conv3d(self.dim_in, self.dim_inner, 1, 1, 0, bias=False)
+        self.a = pconv3d(self.dim_in, self.dim_inner, bias=False)
         self.a_bn = batchnorm()
         self.b = conv3d(self.dim_inner, self.dim_inner, (t, 3, 3),
                         (1, self.stride, self.stride), (t // 2, 1, 1),
                         groups=self.dim_inner, bias=False)
         self.b_bn = batchnorm()
-        self.c = conv3d(self.dim_inner, self.dim_out, 1, 1, 0, bias=False)
+        self.c = pconv3d(self.dim_inner, self.dim_out, bias=False)
         self.c_bn = batchnorm()
 
     def __call__(self, x, train: bool = False):
@@ -279,7 +283,7 @@ class R2Plus1DTransform(nn.Module):
         t = self.temp_kernel_size
         ci = co = self.dim_inner
         mid = (t * 9 * ci * co) // (9 * ci + t * co)
-        self.a = conv3d(self.dim_in, self.dim_inner, 1, 1, 0, bias=False)
+        self.a = pconv3d(self.dim_in, self.dim_inner, bias=False)
         self.a_bn = batchnorm()
         self.b_xy = conv3d(self.dim_inner, mid, (1, 3, 3),
                            (1, self.stride, self.stride), (0, 1, 1), bias=False)
@@ -287,7 +291,7 @@ class R2Plus1DTransform(nn.Module):
         self.b_t = conv3d(mid, self.dim_inner, (t, 1, 1), 1,
                           (t // 2, 0, 0), bias=False)
         self.b_bn = batchnorm()
-        self.c = conv3d(self.dim_inner, self.dim_out, 1, 1, 0, bias=False)
+        self.c = pconv3d(self.dim_inner, self.dim_out, bias=False)
         self.c_bn = batchnorm()
 
     def __call__(self, x, train: bool = False):

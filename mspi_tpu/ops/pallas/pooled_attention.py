@@ -133,13 +133,15 @@ _EXT_DEFAULT = 32 * 1024 * 1024  # see _attention_bwd
 
 def _fwd_tile(nq: int, nk: int, tq_bwd: int) -> int:
     """Largest multiple of the bwd tile that divides (padded) nq and fits
-    the forward VMEM budget."""
+    the forward VMEM budget.  Cap 1024 (r5: the big stage-1 grids amortize
+    per-step overhead; the budget check keeps small-VMEM shapes at 512-)."""
     import os
 
     budget = int(os.environ.get("MSPI_ATTN_VMEM_BUDGET", 8 * 1024 * 1024))
+    cap = int(os.environ.get("MSPI_ATTN_FWD_TILE_CAP", 1024))
     best = tq_bwd
     t = tq_bwd
-    while t <= min(nq, 512):
+    while t <= min(nq, cap):
         if nq % t == 0 and t * nk * _FWD_SCORE_BYTES <= budget:
             best = t
         t += tq_bwd

@@ -42,14 +42,10 @@ REGIONS = [
     ("adapter+SA masks", ["adapter/", "/sa_0", "/sa_1", "/sa_2"]),
     ("audio encoder", ["audnet"]),
     ("trunk stem (patch_embed)", ["visnet/patch_embed"]),
-    ("trunk stage 1 (blocks 0-1)", ["visnet/blocks/layers_0/",
-                                    "visnet/blocks/layers_1/"]),
-    ("trunk stage 2 (blocks 2-3)", ["visnet/blocks/layers_2/",
-                                    "visnet/blocks/layers_3/"]),
-    ("trunk stage 3 (blocks 4-13)", [f"visnet/blocks/layers_{i}/"
-                                     for i in range(4, 14)]),
-    ("trunk stage 4 (blocks 14-15)", ["visnet/blocks/layers_14/",
-                                      "visnet/blocks/layers_15/"]),
+    ("trunk stage 1 (blocks 0-1)", ["visnet/layers_0/", "visnet/layers_1/"]),
+    ("trunk stage 2 (blocks 2-3)", ["visnet/layers_2/", "visnet/layers_3/"]),
+    ("trunk stage 3 (blocks 4-13)", [f"visnet/layers_{i}/" for i in range(4, 14)]),
+    ("trunk stage 4 (blocks 14-15)", ["visnet/layers_14/", "visnet/layers_15/"]),
     ("sync block (AV cross attention)", ["/sync", "forward_encoder/audio_",
                                          "av_project", "predictor",
                                          "projector"]),
