@@ -397,7 +397,15 @@ class StemConv(nn.Module):
         from flax.linen.dtypes import promote_dtype
 
         x, w, b = _fold_uint8_affine(x, w, b)
-        x, w, b = promote_dtype(x, w, b, dtype=default_compute_dtype())
+        if x.dtype == jnp.uint8:
+            # r5: keep the clip uint8 through the s2d pad+regroup (1 B/px
+            # instead of 2) — the convert fuses into the final regroup copy
+            # inside _s2d_conv3d.  The bf16 pad alone was 1.6 ms/iter and
+            # the early convert another 1.5 (stem region 3.7% of floor).
+            dt = default_compute_dtype()
+            w, b = w.astype(dt), (None if b is None else b.astype(dt))
+        else:
+            x, w, b = promote_dtype(x, w, b, dtype=default_compute_dtype())
         return _s2d_conv3d(x, w, b, self.kernel, self.stride, self.padding)
 
 
@@ -409,7 +417,7 @@ def _s2d_conv3d(x, w, b, kernel, stride, padding):
 
     if not _s2d_enabled() or (sh == 1 and sw == 1):
         y = jax.lax.conv_general_dilated(
-            x, w, window_strides=(st, sh, sw),
+            x.astype(w.dtype), w, window_strides=(st, sh, sw),
             padding=[(pt, pt), (ph, ph), (pw, pw)],
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
         return y + b if b is not None else y
@@ -422,10 +430,11 @@ def _s2d_conv3d(x, w, b, kernel, stride, padding):
     Hb, Wb = out_h + kbh - 1, out_w + kbw - 1
     pad_h, pad_w = Hb * sh - H - ph, Wb * sw - W - pw
     assert pad_h >= 0 and pad_w >= 0, (kernel, stride, x.shape)
+    # pad + W-regroup run in the INPUT dtype (uint8 clips stay 1 B/px);
+    # the convert to the compute dtype fuses into the one transpose copy
     xp = jnp.pad(x, ((0, 0), (pt, pt), (ph, pad_h), (pw, pad_w), (0, 0)))
-    # W regroup is a contiguous reshape; H regroup needs one transpose
     xp = xp.reshape(B, T + 2 * pt, Hb, sh, Wb, sw * Cin)
-    xp = xp.transpose(0, 1, 2, 4, 3, 5).reshape(
+    xp = xp.transpose(0, 1, 2, 4, 3, 5).astype(w.dtype).reshape(
         B, T + 2 * pt, Hb, Wb, sh * sw * Cin)
     # weight: pad each spatial kernel dim to block multiples (zero taps),
     # then regroup to [kt, kbh, kbw, sh*sw*Cin, Cout] in the same
@@ -464,7 +473,12 @@ class StemConv2D(nn.Module):
         from flax.linen.dtypes import promote_dtype
 
         x, w, b = _fold_uint8_affine(x, w, b)
-        x, w, b = promote_dtype(x, w, b, dtype=default_compute_dtype())
+        if x.dtype == jnp.uint8:
+            # see StemConv: uint8 stays through the s2d pad+regroup
+            dt = default_compute_dtype()
+            w, b = w.astype(dt), (None if b is None else b.astype(dt))
+        else:
+            x, w, b = promote_dtype(x, w, b, dtype=default_compute_dtype())
         y = _s2d_conv3d(x[:, None], w[None], b, (1, kh, kw),
                         (1, *self.stride), (0, *self.padding))
         return y[:, 0]
