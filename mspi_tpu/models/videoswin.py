@@ -21,7 +21,8 @@ Pyramid taps are the *pre-downsample* features of each stage
 
 from __future__ import annotations
 
-from functools import lru_cache
+import os
+from functools import lru_cache, partial
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -59,6 +60,48 @@ def _rel_pos_index(wd: int, wh: int, ww: int) -> np.ndarray:
     rel[:, :, 0] *= (2 * wh - 1) * (2 * ww - 1)
     rel[:, :, 1] *= 2 * ww - 1
     return rel.sum(-1)
+
+
+def _disp_onehot(w: int) -> np.ndarray:
+    """E[t, u, a] = 1 iff t - u + w - 1 == a (axis displacement one-hot)."""
+    t = np.arange(w)
+    a = t[:, None] - t[None, :] + w - 1  # [w, w]
+    E = np.zeros((w, w, 2 * w - 1), np.float32)
+    E[t[:, None], t[None, :], a] = 1.0
+    return E
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _bias_rows(table, window):
+    """table[idx] for the FULL (unclamped) window — the gather whose
+    autodiff backward is a serial scatter-add that the r5 videoswins train
+    profile measured at ~1.06 ms PER BLOCK (24 blocks ≈ a third of the
+    whole backward).  The custom bwd exploits the index's separability
+    (idx = a_t*(2wh-1)(2ww-1) + a_h*(2ww-1) + a_w): the scatter is three
+    tiny one-hot einsums on the MXU."""
+    wd, wh, ww = window
+    idx = _rel_pos_index(wd, wh, ww)
+    return table[np.asarray(idx).reshape(-1)]  # [N*N, H]
+
+
+def _bias_rows_fwd(table, window):
+    return _bias_rows(table, window), ()
+
+
+def _bias_rows_bwd(window, _res, g):
+    wd, wh, ww = window
+    H = g.shape[-1]
+    gg = g.astype(jnp.float32).reshape(wd, wh, ww, wd, wh, ww, H)
+    Et = jnp.asarray(_disp_onehot(wd))
+    Eh = jnp.asarray(_disp_onehot(wh))
+    Ew = jnp.asarray(_disp_onehot(ww))
+    r = jnp.einsum("tyxuvwh,tua->ayxvwh", gg, Et)
+    r = jnp.einsum("ayxvwh,yvb->abxwh", r, Eh)
+    r = jnp.einsum("abxwh,xwc->abch", r, Ew)
+    return (r.reshape(-1, H).astype(g.dtype),)
+
+
+_bias_rows.defvjp(_bias_rows_fwd, _bias_rows_bwd)
 
 
 @lru_cache(maxsize=64)
@@ -148,8 +191,16 @@ class WindowAttention3D(nn.Module):
         # is clamped on small inputs this mis-addresses the table exactly as
         # the torch code does; at the production 224x384 resolution windows
         # never clamp (only shifts zero out), so the two agree.
-        idx = _rel_pos_index(*self.window_size)[:N, :N]
-        bias = self.relative_position_bias_table[np.asarray(idx).reshape(-1)]
+        full_n = int(np.prod(self.window_size))
+        if (N == full_n
+                and os.environ.get("MSPI_SWIN_SEP_DTABLE", "1") == "1"):
+            # unclamped window: separable-scatter custom bwd (see _bias_rows)
+            bias = _bias_rows(self.relative_position_bias_table,
+                              tuple(self.window_size))
+        else:
+            idx = _rel_pos_index(*self.window_size)[:N, :N]
+            bias = self.relative_position_bias_table[
+                np.asarray(idx).reshape(-1)]
         bias = bias.reshape(N, N, -1).transpose(2, 0, 1)  # [H, N, N]
 
         from mspi_tpu.ops.pallas import pallas_enabled, pallas_interpret
