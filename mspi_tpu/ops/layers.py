@@ -188,7 +188,9 @@ class PointwiseConv3d(nn.Module):
             y = jax.lax.dot_general(
                 x, kernel[0, 0, 0],
                 dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())))
-        return y + bias if bias is not None else y
+        if bias is None:
+            return y
+        return (_bias_add_mm(y, bias) if _colred_mm() else y + bias)
 
 
 def pconv3d(in_features: int, features: int, bias: bool = True, dtype=None,
@@ -205,6 +207,35 @@ def _tapgrad_conv_fwd_op(x, w, stride, padding, groups):
         x, w, window_strides=stride, padding=[(p, p) for p in padding],
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         feature_group_count=groups)
+
+
+def _colred_mm() -> bool:
+    return os.environ.get("MSPI_COLRED_MM", "0") == "1"
+
+
+@jax.custom_vjp
+def _bias_add_mm(y, b):
+    """y + b whose db is a ones-vector MATMUL over tokens instead of the
+    autodiff column-reduce: the r5 train profile showed the decoder bias
+    grads emitted as ~2 ms serial [N,C]->[C] reduce fusions (fast standalone
+    — the pathology is fusion-context, so the fix forces a dot_general that
+    XLA schedules on the MXU)."""
+    return y + b
+
+
+def _bias_add_mm_fwd(y, b):
+    return y + b, None
+
+
+def _bias_add_mm_bwd(_res, g):
+    gf = g.reshape(-1, g.shape[-1])
+    ones = jnp.ones((1, gf.shape[0]), g.dtype)
+    db = jax.lax.dot_general(ones, gf, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)[0]
+    return g, db.astype(g.dtype)
+
+
+_bias_add_mm.defvjp(_bias_add_mm_fwd, _bias_add_mm_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -244,9 +275,18 @@ def _tapgrad_conv_bwd(stride, padding, groups, res, dy):
                         xs, dyf, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32))  # [Ci, Co]
                 else:  # depthwise (cig == 1, co == groups == Ci)
-                    taps.append(jnp.sum(
-                        xs.astype(jnp.float32) * dyf.astype(jnp.float32),
-                        axis=0)[None])  # [1, Co]
+                    if _colred_mm():
+                        # per-channel token reduce as a ones-vector matmul
+                        # (MXU) instead of a column-reduce fusion
+                        prod = (xs * dyf).astype(jnp.float32)
+                        ones = jnp.ones((1, prod.shape[0]), jnp.float32)
+                        taps.append(jax.lax.dot_general(
+                            ones, prod, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32))  # [1, Co]
+                    else:
+                        taps.append(jnp.sum(
+                            xs.astype(jnp.float32) * dyf.astype(jnp.float32),
+                            axis=0)[None])  # [1, Co]
     dw = jnp.stack(taps).reshape(kt, kh, kw, cig, co).astype(w.dtype)
     return dx, dw
 
@@ -304,7 +344,9 @@ class TapGradConv3d(nn.Module):
         else:
             y = _tapgrad_conv(x, kernel, self.stride, self.padding,
                               self.groups)
-        return y + bias if bias is not None else y
+        if bias is None:
+            return y
+        return (_bias_add_mm(y, bias) if _colred_mm() else y + bias)
 
 
 def conv3d_tapgrad(in_features: int, features: int, kernel_size: IntOrTuple,
